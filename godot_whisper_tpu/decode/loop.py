@@ -1,0 +1,421 @@
+"""The transcription orchestrator — equivalent of ``whisper_full_with_state``
+(/root/reference/thirdparty/whisper.cpp/whisper.cpp:4960-5807).
+
+Host-side control flow only: the 30 s seek loop, the temperature fallback
+ladder, sequence ranking with entropy/logprob gates, prompt_past context
+conditioning and segment emission.  All per-token compute lives in
+``window.WindowDecoder`` (one jit call per (window, temperature) attempt).
+
+Timestamps are in the reference's centisecond units (t0/t1 are 10 ms ticks,
+token_beg + n <-> n * 20 ms).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..audio.mel import MelFrontend, frame_counts
+from ..audio.tokenizer import Tokenizer
+from ..models.config import WhisperConfig, MAX_DECODERS
+from ..models.model import (CrossKV, causal_prompt_mask, cross_kv,
+                            decoder_forward, encoder_forward, init_kv_cache)
+from ..runtime.metrics import Timings
+from .filters import build_filter_context
+from .language import detect_language_from_logits, lang_id, lang_str
+from .params import SamplingStrategy, TranscribeParams
+from .sequence import score_sequence
+from .window import WindowDecoder, WindowResult
+
+
+@dataclasses.dataclass
+class TokenData:
+    """Mirror of whisper_token_data (whisper.h:78-98)."""
+    id: int
+    tid: int
+    p: float
+    plog: float
+    pt: float
+    ptsum: float
+    t0: int = -1
+    t1: int = -1
+    vlen: float = 0.0
+
+
+@dataclasses.dataclass
+class Segment:
+    """Mirror of whisper_segment (whisper.cpp:396-405)."""
+    t0: int
+    t1: int
+    text: str
+    tokens: List[TokenData]
+    speaker_turn_next: bool = False
+
+
+class WhisperPipeline:
+    """One loaded model + decode state (context + state in reference terms)."""
+
+    def __init__(self, config: WhisperConfig, params, tokenizer: Tokenizer,
+                 mel_filters: np.ndarray, *, n_loaded: int = -1):
+        self.config = config
+        self.params = params
+        self.tokenizer = tokenizer
+        self.mel = MelFrontend(mel_filters)
+        # n_loaded == 0 => weightless stub => test fast-path
+        self.n_loaded = n_loaded
+        self.lang_id_detected: Optional[int] = None
+        self.timings = Timings()
+        self._encode_cache = {}
+        self._window_decoders = {}
+        self._mel_data: Optional[np.ndarray] = None
+        self._n_len_org = 0
+        self._prompt_past: List[int] = []
+        self._samples: Optional[np.ndarray] = None
+        self._energy: Optional[np.ndarray] = None
+        self._ts_state = {"t_beg": 0, "t_last": 0, "tid_last": 0}
+        self.segments: List[Segment] = []
+
+    # ----------------------------------------------------------------- encode
+    def _encode_fn(self, audio_ctx: int):
+        fn = self._encode_cache.get(audio_ctx)
+        if fn is None:
+            config = self.config
+
+            def encode(params, mel_window):
+                enc = encoder_forward(params, config, mel_window,
+                                      audio_ctx=audio_ctx)
+                return enc, cross_kv(params, config, enc)
+
+            fn = jax.jit(encode)
+            self._encode_cache[audio_ctx] = fn
+        return fn
+
+    def encode_window(self, seek: int, audio_ctx: int = 0):
+        """Encode mel[seek : seek+2*n_ctx] -> (enc_out, CrossKV).
+
+        Mirrors whisper_encode_internal's window slice
+        (whisper.cpp:1697-1706) + conv/encoder/cross graphs.
+        """
+        n_ctx = audio_ctx or self.config.n_audio_ctx
+        t0 = time.perf_counter()
+        mel = self._mel_data
+        window = np.zeros((2 * n_ctx, self.config.n_mels), dtype=np.float32)
+        i0 = min(seek, mel.shape[1])
+        i1 = min(seek + 2 * n_ctx, mel.shape[1])
+        window[:i1 - i0] = mel[:, i0:i1].T
+        enc, xkv = self._encode_fn(n_ctx)(self.params, window[None])
+        jax.block_until_ready(xkv.k)
+        self.timings.t_encode_us += int((time.perf_counter() - t0) * 1e6)
+        self.timings.n_encode += 1
+        return enc, xkv
+
+    # -------------------------------------------------------------- language
+    def detect_language(self, seek: int = 0,
+                        audio_ctx: int = 0) -> tuple[int, np.ndarray]:
+        """Encode + single [sot] decode + softmax over language tokens
+        (whisper_lang_auto_detect_with_state, whisper.cpp:3569-3642)."""
+        _, xkv = self.encode_window(seek, audio_ctx)
+        config = self.config
+        kv = init_kv_cache(config, 1,
+                           dtype=self.params["decoder"]["token_embed"].dtype)
+        tokens = jnp.asarray([[config.token_sot]], dtype=jnp.int32)
+        positions = jnp.zeros((1, 1), dtype=jnp.int32)
+        mask = causal_prompt_mask(config, jnp.int32(1), 1, 1)
+        logits, _ = decoder_forward(self.params, config, tokens, positions,
+                                    kv, xkv, mask)
+        return detect_language_from_logits(np.asarray(logits[0, 0]),
+                                           config)
+
+    # ------------------------------------------------------------------ mel
+    def set_audio(self, samples: np.ndarray) -> None:
+        t0 = time.perf_counter()
+        self._samples = np.asarray(samples, dtype=np.float32)
+        self._mel_data = self.mel(samples)
+        _, self._n_len_org = frame_counts(len(samples))
+        self.timings.t_mel_us += int((time.perf_counter() - t0) * 1e6)
+
+    def set_mel(self, mel: np.ndarray, n_len_org: Optional[int] = None):
+        """External mel injection (whisper_set_mel, whisper.h:262-270)."""
+        self._mel_data = np.asarray(mel, dtype=np.float32)
+        self._n_len_org = n_len_org or mel.shape[1]
+
+    # ------------------------------------------------------------------ full
+    def full(self, tparams: TranscribeParams,
+             samples: Optional[np.ndarray]) -> List[Segment]:
+        config = self.config
+        tok = self.tokenizer
+        self.segments = []
+
+        if samples is not None and len(samples) > 0:
+            self.set_audio(samples)
+        if self._mel_data is None:
+            raise ValueError("no audio or mel set")
+
+        # language auto-detect (whisper.cpp:4985-5001)
+        language = tparams.language
+        if (config.is_multilingual
+                and (language is None or language == "auto"
+                     or tparams.detect_language)):
+            lid, probs = self.detect_language(0, tparams.audio_ctx)
+            self.lang_id_detected = lid
+            language = lang_str(lid)
+            if tparams.detect_language:
+                return []
+        elif not config.is_multilingual:
+            language = "en"
+
+        # token-timestamp state init (whisper.cpp:5003-5010)
+        if tparams.token_timestamps:
+            self._ts_state = {"t_beg": 0, "t_last": 0, "tid_last": 0}
+            if self._samples is not None and len(self._samples) > 0:
+                from .timestamps import signal_energy
+                self._energy = signal_energy(self._samples, 32)
+
+        seek_start = tparams.offset_ms // 10
+        seek_end = (self._n_len_org if tparams.duration_ms == 0
+                    else seek_start + tparams.duration_ms // 10)
+
+        # < 1 s of input: nothing to do (whisper.cpp:5015-5021)
+        if seek_end < seek_start + 100:
+            return []
+
+        temperatures = tparams.temperatures()
+
+        n_decoders_max = tparams.n_decoders()
+        if n_decoders_max > MAX_DECODERS:
+            raise ValueError(
+                f"too many decoders ({n_decoders_max} > {MAX_DECODERS})")
+
+        # prompt_past: rolling text context persisting across full() calls
+        # (state->prompt_past; cleared by no_context, whisper.cpp:5069-5073)
+        if tparams.no_context:
+            self._prompt_past = []
+        prompt_past: List[int] = self._prompt_past
+        # initial prompt tokens are prepended (whisper.cpp:5075-5094)
+        new_tokens: List[int] = []
+        if tparams.prompt_tokens:
+            new_tokens = list(tparams.prompt_tokens)
+        elif tparams.initial_prompt:
+            new_tokens = tok.encode(tparams.initial_prompt)
+        if new_tokens:
+            prompt_past[:0] = new_tokens  # std::rotate to the front
+
+        # task prefix (whisper.cpp:5104-5129)
+        prompt_init = [config.token_sot]
+        if config.is_multilingual:
+            lid = lang_id(language or "en")
+            self.lang_id_detected = lid
+            prompt_init.append(config.token_lang(lid))
+            prompt_init.append(config.token_translate if tparams.translate
+                               else config.token_transcribe)
+        no_timestamps = tparams.no_timestamps
+        if config.is_distil and not no_timestamps:
+            no_timestamps = True  # whisper.cpp:5118-5125
+        if no_timestamps:
+            prompt_init.append(config.token_not)
+
+        strategy = ("beam" if tparams.strategy == SamplingStrategy.BEAM_SEARCH
+                    else "greedy")
+        wd = self._window_decoder(tparams)
+
+        seek = seek_start
+        while True:
+            if tparams.progress_callback:
+                progress = (100 * (seek - seek_start)) // max(
+                    1, seek_end - seek_start)
+                tparams.progress_callback(self, progress)
+
+            if seek + 100 >= seek_end:
+                break
+
+            if (tparams.encoder_begin_callback
+                    and not tparams.encoder_begin_callback(self)):
+                break
+
+            _, xkv = self.encode_window(seek, tparams.audio_ctx)
+
+            # drop stale context near the end (whisper.cpp:5176-5180)
+            if seek > seek_start and seek + 500 >= seek_end:
+                prompt_past = []
+
+            best: Optional[dict] = None
+            for it, t_cur in enumerate(temperatures):
+                n_dec = tparams.n_decoders_at(t_cur)
+
+                # build prompt (whisper.cpp:5237-5249)
+                prompt: List[int] = []
+                if (prompt_past and t_cur < 0.5
+                        and tparams.n_max_text_ctx > 0):
+                    n_take = min(tparams.n_max_text_ctx,
+                                 config.n_text_ctx // 2, len(prompt_past))
+                    prompt = [config.token_prev] + prompt_past[-n_take:]
+                prompt += prompt_init
+
+                t0 = time.perf_counter()
+                res = wd.decode(
+                    self.params, xkv, np.asarray(prompt, dtype=np.int32),
+                    n_decoders=n_dec, temperature=t_cur, strategy=strategy,
+                    beam_size=tparams.beam_size, seek=seek,
+                    seek_end=seek_end,
+                    suppress_blank=tparams.suppress_blank,
+                    no_timestamps=no_timestamps,
+                    single_segment=tparams.single_segment,
+                    max_tokens=tparams.max_tokens,
+                    test_mode=(self.n_loaded == 0),
+                    seed=tparams.seed + it)
+                self.timings.t_decode_us += int(
+                    (time.perf_counter() - t0) * 1e6)
+                self.timings.n_decode += res.n_steps * n_dec
+
+                # rank sequences (whisper.cpp:5611-5645)
+                best_j, best_score = -1, -np.inf
+                scores = []
+                for j in range(n_dec):
+                    if res.failed[j]:
+                        scores.append(None)
+                        continue
+                    rl = int(res.result_len[j])
+                    sc = score_sequence(res.tokens[j, :rl].tolist(),
+                                        res.tok_plog[j, :rl],
+                                        tparams.length_penalty)
+                    # entropy gate (whisper.cpp:5628-5636)
+                    if rl > 32 and sc.entropy < tparams.entropy_thold:
+                        scores.append(None)
+                        self.timings.n_fail_h += 1
+                        continue
+                    scores.append(sc)
+                    if sc.score > best_score:
+                        best_score, best_j = sc.score, j
+
+                success = True
+                if it != len(temperatures) - 1:
+                    if best_j < 0 or (scores[best_j].avg_logprobs
+                                      < tparams.logprob_thold):
+                        success = False
+                        self.timings.n_fail_p += 1
+
+                if best_j >= 0:
+                    best = {"res": res, "j": best_j, "score": scores[best_j]}
+                if success and best is not None:
+                    break
+
+            if best is None:
+                # every temperature failed — advance a full window
+                seek += 3000
+                continue
+
+            seek_delta, prompt_past = self._emit_segments(
+                best["res"], best["j"], prompt, prompt_init, seek, tparams,
+                no_timestamps)
+            self._prompt_past = prompt_past
+            seek += seek_delta
+
+            if tparams.abort_callback and tparams.abort_callback(self):
+                break
+
+        return self.segments
+
+    # ------------------------------------------------------------- internals
+    def _window_decoder(self, tparams: TranscribeParams) -> WindowDecoder:
+        key = (tparams.suppress_non_speech_tokens, tparams.tdrz_enable,
+               round(tparams.max_initial_ts, 6))
+        wd = self._window_decoders.get(key)
+        if wd is None:
+            fctx = build_filter_context(
+                self.config, self.tokenizer,
+                suppress_non_speech=tparams.suppress_non_speech_tokens,
+                tdrz_enable=tparams.tdrz_enable,
+                max_initial_ts=tparams.max_initial_ts)
+            wd = WindowDecoder(self.config, fctx)
+            self._window_decoders[key] = wd
+        return wd
+
+    def _emit_segments(self, res: WindowResult, j: int, prompt: List[int],
+                       prompt_init: List[int], seek: int,
+                       tparams: TranscribeParams,
+                       no_timestamps: bool) -> tuple[int, List[int]]:
+        """Segment emission + prompt_past update (whisper.cpp:5673-5797).
+        Returns (seek_delta, new prompt_past)."""
+        config = self.config
+        tok = self.tokenizer
+        beg = config.token_beg
+        eot = config.token_eot
+
+        seek_delta = int(res.seek_delta[j])
+        rl = int(res.result_len[j])
+
+        tokens_cur = [
+            TokenData(id=int(res.tokens[j, t]), tid=int(res.tok_tid[j, t]),
+                      p=float(res.tok_p[j, t]), plog=float(res.tok_plog[j, t]),
+                      pt=float(res.tok_pt[j, t]),
+                      ptsum=float(res.tok_ptsum[j, t]))
+            for t in range(rl)
+        ]
+
+        # prompt_past update (whisper.cpp:5684-5692)
+        prompt_past: List[int] = []
+        if prompt and prompt[0] == config.token_prev:
+            prompt_past = prompt[1:len(prompt) - len(prompt_init)]
+        prompt_past += [t.id for t in tokens_cur]
+
+        if not tokens_cur or self.n_loaded == 0:
+            return seek_delta, prompt_past
+
+        i0 = 0
+        t0 = seek + 2 * (tokens_cur[0].tid - beg)
+        text = ""
+        speaker_turn_next = False
+        i = 0
+        while i < len(tokens_cur):
+            td = tokens_cur[i]
+            if tparams.print_special or td.id < eot:
+                text += tok.token_str(td.id)
+            if tparams.tdrz_enable and td.id == config.token_solm:
+                speaker_turn_next = True
+
+            if td.id > beg and not tparams.single_segment:
+                t1 = seek + 2 * (td.tid - beg)
+                if text:
+                    self._push_segment(t0, t1, text,
+                                       tokens_cur[i0:i + 1],
+                                       speaker_turn_next, tparams)
+                text = ""
+                while (i < len(tokens_cur) and tokens_cur[i].id > beg):
+                    i += 1
+                i -= 1
+                t0 = t1
+                i0 = i + 1
+                speaker_turn_next = False
+            i += 1
+
+        if text:
+            t1 = seek + seek_delta
+            self._push_segment(t0, t1, text, tokens_cur[i0:],
+                               speaker_turn_next, tparams)
+
+        return seek_delta, prompt_past
+
+    def _push_segment(self, t0: int, t1: int, text: str,
+                      tokens: List[TokenData], speaker_turn: bool,
+                      tparams: TranscribeParams) -> None:
+        self.segments.append(Segment(t0=t0, t1=t1, text=text,
+                                     tokens=list(tokens),
+                                     speaker_turn_next=speaker_turn))
+        n_new = 1
+        if tparams.token_timestamps:
+            from .timestamps import compute_token_level_timestamps
+            compute_token_level_timestamps(
+                self, len(self.segments) - 1,
+                tparams.thold_pt, tparams.thold_ptsum)
+            if tparams.max_len > 0:
+                from .timestamps import wrap_segment
+                n_new = wrap_segment(self, tparams.max_len,
+                                     tparams.split_on_word)
+        if tparams.new_segment_callback:
+            tparams.new_segment_callback(self, n_new)

@@ -1,0 +1,457 @@
+"""In-jit autoregressive decode of one 30 s window.
+
+The reference's hottest loop (whisper.cpp:5288-5609) round-trips to the host
+every token: sample on CPU threads, mutate the KV cache via seq_cp/seq_rm,
+rebuild a ggml graph, copy logits back (whisper.cpp:2566-2572).  Here the
+ENTIRE per-window loop — decoder step, logit-filter stack, sampling, beam
+merge, per-decoder state machine — runs inside a single ``lax.while_loop``
+under one jit.  The host sees only the final token matrix.
+
+Semantics mirrored step-for-step:
+- decoder slot state machine (completed/failed/has_ts/seek_delta/result_len,
+  whisper.cpp:5421-5507);
+- timestamp-token window advance + "don't go back in time" failure
+  (whisper.cpp:5441-5455);
+- EOT / max_tokens / end-of-audio completion incl. the result_len==0 rescue
+  (whisper.cpp:5467-5490);
+- repetition-loop failure at the last step (whisper.cpp:5500-5506);
+- the weightless-stub test fast-path (whisper.cpp:5492-5497);
+- beam candidate generation + global score sort + equal-score dedupe + KV
+  reorder (whisper.cpp:5360-5419) — as a gather over the batch axis instead
+  of seq-id cache surgery.
+
+One deliberate divergence: beam candidates are deterministic top-k over
+logprobs (textbook beam search, as in OpenAI's reference decoder) rather
+than the reference's k draws from a seeded discrete_distribution
+(whisper.cpp:4894-4906) — deterministic expansion dominates it for WER and
+removes RNG state from the hot loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..models.config import WhisperConfig
+from ..models.model import (CrossKV, KVCache, causal_prompt_mask,
+                            decoder_forward, init_kv_cache, reorder_kv_cache,
+                            step_mask)
+from .filters import FilterContext, process_logits, timestamp_stats
+
+SEEK_DELTA_FULL = 3000  # 100 * WHISPER_CHUNK_SIZE (whisper.cpp:5222)
+
+
+class LoopState(NamedTuple):
+    i: jax.Array                 # scalar i32 — step counter
+    kv: KVCache
+    tokens: jax.Array            # (B, N_MAX) i32
+    tok_p: jax.Array             # (B, N_MAX) f32
+    tok_plog: jax.Array          # (B, N_MAX) f32
+    tok_pt: jax.Array            # (B, N_MAX) f32
+    tok_ptsum: jax.Array         # (B, N_MAX) f32
+    tok_tid: jax.Array           # (B, N_MAX) i32
+    probs: jax.Array             # (B, V) f32 — for the next sample
+    logprobs: jax.Array          # (B, V) f32
+    completed: jax.Array         # (B,) bool
+    failed: jax.Array            # (B,) bool
+    has_ts: jax.Array            # (B,) bool
+    seek_delta: jax.Array        # (B,) i32
+    result_len: jax.Array        # (B,) i32
+    sum_logprobs_all: jax.Array  # (B,) f32
+    rng: jax.Array               # PRNG key
+
+
+class WindowResult(NamedTuple):
+    """Host-side numpy view of one window decode."""
+    tokens: np.ndarray
+    tok_p: np.ndarray
+    tok_plog: np.ndarray
+    tok_pt: np.ndarray
+    tok_ptsum: np.ndarray
+    tok_tid: np.ndarray
+    completed: np.ndarray
+    failed: np.ndarray
+    has_ts: np.ndarray
+    seek_delta: np.ndarray
+    result_len: np.ndarray
+    sum_logprobs_all: np.ndarray
+    n_steps: int
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowStatics:
+    """Hashable static configuration of one compiled window decoder."""
+    config: WhisperConfig
+    batch: int
+    n_max: int
+    prompt_pad: int
+    strategy: str           # "greedy" | "beam"
+    beam_size: int
+    greedy_argmax: bool     # temperature == 0 in greedy mode
+    suppress_blank: bool
+    no_timestamps: bool
+    single_segment: bool
+    max_tokens: int
+    test_mode: bool         # weightless stub model fast-path
+
+
+def _sample_greedy(st: LoopState, statics: WindowStatics, fctx: FilterContext):
+    """Greedy / temperature sampling (whisper_sample_token,
+    whisper.cpp:4777-4834)."""
+    B = statics.batch
+    if statics.greedy_argmax:
+        ids = jnp.argmax(st.probs, axis=-1).astype(jnp.int32)
+        rng = st.rng
+    else:
+        rng, sub = jax.random.split(st.rng)
+        keys = jax.random.split(sub, B)
+        ids = jax.vmap(
+            lambda k, lp: jax.random.categorical(k, lp))(keys, st.logprobs
+                                                         ).astype(jnp.int32)
+    rows = jnp.arange(B)
+    p = st.probs[rows, ids]
+    plog = st.logprobs[rows, ids]
+    pt, ptsum, tid = timestamp_stats(st.probs, fctx.token_beg)
+    is_ts = ids >= fctx.token_beg
+    tid = jnp.where(is_ts, ids, tid)
+    pt = jnp.where(is_ts, p, pt)
+    src = rows  # no reorder in greedy mode
+    new_sum = st.sum_logprobs_all + jnp.where(st.completed | st.failed, 0.0,
+                                              plog)
+    return src, ids, p, plog, pt, ptsum, tid, new_sum, st, rng
+
+
+def _sample_beam(st: LoopState, statics: WindowStatics, fctx: FilterContext):
+    """Beam expansion + global merge (whisper.cpp:5327-5419)."""
+    B, K = statics.batch, statics.beam_size
+    rows = jnp.arange(B)
+    live = ~(st.completed | st.failed)
+
+    # top-k candidates per live beam
+    cand_plog, cand_ids = lax.top_k(st.logprobs, K)        # (B, K)
+    cand_scores = st.sum_logprobs_all[:, None] + cand_plog  # (B, K)
+    cand_scores = jnp.where(live[:, None], cand_scores, -jnp.inf)
+
+    flat_scores = cand_scores.reshape(-1)                   # (B*K,)
+    order = jnp.argsort(-flat_scores)                       # stable desc
+    sorted_scores = flat_scores[order]
+
+    # equal-score dedupe active when i > 0 (whisper.cpp:5393)
+    neq = jnp.concatenate([jnp.array([True]),
+                           sorted_scores[1:] != sorted_scores[:-1]])
+    starts = jnp.where(st.i > 0, neq, jnp.ones_like(neq))
+    group_rank = jnp.cumsum(starts) - 1                     # (B*K,)
+    n_groups = jnp.maximum(jnp.sum(starts), 1)
+    # first sorted position of each group
+    n = flat_scores.shape[0]
+    first_pos = jnp.full((n,), n - 1, dtype=jnp.int32)
+    first_pos = first_pos.at[group_rank].min(
+        jnp.arange(n, dtype=jnp.int32))
+
+    # j-th live slot takes group (slot_rank % n_groups)
+    slot_rank = jnp.cumsum(live.astype(jnp.int32)) - 1      # (B,)
+    target_group = jnp.where(live, slot_rank % n_groups, 0)
+    chosen_sorted = first_pos[target_group]
+    chosen_flat = order[chosen_sorted]                      # (B,)
+
+    src_beam = (chosen_flat // K).astype(jnp.int32)
+    ids_new = cand_ids.reshape(-1)[chosen_flat].astype(jnp.int32)
+    plog_new = cand_plog.reshape(-1)[chosen_flat]
+    score_new = flat_scores[chosen_flat]
+
+    # dead slots keep themselves
+    src = jnp.where(live, src_beam, rows)
+    ids = jnp.where(live, ids_new, 0)
+    plog = jnp.where(live, plog_new, 0.0)
+
+    # gather candidate-carried state from source beams (whisper.cpp:5332,
+    # 5397-5400): sequence, seek_delta, has_ts, result_len, token data
+    st = st._replace(
+        kv=reorder_kv_cache(st.kv, src),
+        tokens=st.tokens[src],
+        tok_p=st.tok_p[src], tok_plog=st.tok_plog[src],
+        tok_pt=st.tok_pt[src], tok_ptsum=st.tok_ptsum[src],
+        tok_tid=st.tok_tid[src],
+        has_ts=st.has_ts[src], seek_delta=st.seek_delta[src],
+        result_len=st.result_len[src],
+        probs=st.probs[src], logprobs=st.logprobs[src],
+    )
+
+    p = st.probs[rows, jnp.where(live, ids, 0)]
+    pt, ptsum, tid = timestamp_stats(st.probs, fctx.token_beg)
+    is_ts = ids >= fctx.token_beg
+    tid = jnp.where(is_ts, ids, tid)
+    pt = jnp.where(is_ts, p, pt)
+    new_sum = jnp.where(live, score_new, st.sum_logprobs_all)
+    return src, ids, p, plog, pt, ptsum, tid, new_sum, st, st.rng
+
+
+class WindowDecoder:
+    """Compiles and caches jitted window-decode executables per static key."""
+
+    def __init__(self, config: WhisperConfig, fctx: FilterContext):
+        self.config = config
+        self.fctx = fctx
+        self._cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------ build
+    def _build(self, statics: WindowStatics):
+        config, fctx = self.config, self.fctx
+        B = statics.batch
+        N_MAX = statics.n_max
+        P = statics.prompt_pad
+        V = config.n_vocab
+        eot = fctx.token_eot
+        beg = fctx.token_beg
+
+        def proc(logits, st_like, *, is_initial, n_tokens, last, penult):
+            return process_logits(
+                logits, fctx=fctx,
+                temperature=st_like["temp"],
+                is_initial=is_initial,
+                last_token=last, penult_token=penult,
+                n_tokens=n_tokens,
+                has_ts=st_like["has_ts"], seek_delta=st_like["seek_delta"],
+                suppress_blank=statics.suppress_blank,
+                no_timestamps=statics.no_timestamps)
+
+        def window_fn(params, xkv_b: CrossKV, prompt: jax.Array,
+                      n_prompt: jax.Array, temperature: jax.Array,
+                      seek: jax.Array, seek_end: jax.Array,
+                      rng: jax.Array) -> LoopState:
+            # ---- prompt pass (whisper.cpp:5258-5285): decode prompt with
+            # B=1, broadcast the KV cache to all decoders (the functional
+            # equivalent of kv_cache_seq_cp 0->j, whisper.cpp:5277).
+            kv1 = init_kv_cache(config, 1, dtype=params["decoder"][
+                "token_embed"].dtype)
+            positions = jnp.arange(P, dtype=jnp.int32)[None]
+            pmask = causal_prompt_mask(config, n_prompt, P, 1)
+            xkv1 = CrossKV(k=xkv_b.k[:, :1], v=xkv_b.v[:, :1])
+            plogits, kv1 = decoder_forward(
+                params, config, prompt[None], positions, kv1, xkv1, pmask)
+            last_logits = plogits[0, n_prompt - 1][None]        # (1, V)
+            last_logits = jnp.broadcast_to(last_logits, (B, V))
+
+            kv = KVCache(k=jnp.broadcast_to(
+                kv1.k, (kv1.k.shape[0], B) + kv1.k.shape[2:]),
+                v=jnp.broadcast_to(
+                    kv1.v, (kv1.v.shape[0], B) + kv1.v.shape[2:]))
+
+            zero_b = jnp.zeros((B,), jnp.int32)
+            st_like = {"temp": temperature,
+                       "has_ts": jnp.zeros((B,), bool),
+                       "seek_delta": jnp.full((B,), SEEK_DELTA_FULL,
+                                              jnp.int32)}
+            _, logprobs0, probs0 = proc(
+                last_logits, st_like,
+                is_initial=jnp.ones((B,), bool),
+                n_tokens=zero_b, last=zero_b - 1, penult=zero_b - 1)
+
+            st = LoopState(
+                i=jnp.int32(0),
+                kv=kv,
+                tokens=jnp.zeros((B, N_MAX), jnp.int32),
+                tok_p=jnp.zeros((B, N_MAX), jnp.float32),
+                tok_plog=jnp.zeros((B, N_MAX), jnp.float32),
+                tok_pt=jnp.zeros((B, N_MAX), jnp.float32),
+                tok_ptsum=jnp.zeros((B, N_MAX), jnp.float32),
+                tok_tid=jnp.zeros((B, N_MAX), jnp.int32),
+                probs=probs0, logprobs=logprobs0,
+                completed=jnp.zeros((B,), bool),
+                failed=jnp.zeros((B,), bool),
+                has_ts=jnp.zeros((B,), bool),
+                seek_delta=jnp.full((B,), SEEK_DELTA_FULL, jnp.int32),
+                result_len=jnp.zeros((B,), jnp.int32),
+                sum_logprobs_all=jnp.zeros((B,), jnp.float32),
+                rng=rng)
+
+            def cond(st: LoopState):
+                return (st.i < N_MAX) & ~jnp.all(st.completed | st.failed)
+
+            def body(st: LoopState) -> LoopState:
+                i = st.i
+                rows = jnp.arange(B)
+                was_done = st.completed | st.failed
+
+                if statics.strategy == "beam":
+                    (src, ids, p, plog, pt, ptsum, tid, new_sum, st,
+                     rng) = _sample_beam(st, statics, fctx)
+                else:
+                    (src, ids, p, plog, pt, ptsum, tid, new_sum, st,
+                     rng) = _sample_greedy(st, statics, fctx)
+
+                live = ~was_done
+                # append token i (masked for dead slots)
+                def put(buf, val):
+                    return jnp.where(live[:, None],
+                                     buf.at[:, i].set(val), buf)
+                tokens = put(st.tokens, ids)
+                tok_p = put(st.tok_p, p)
+                tok_plog = put(st.tok_plog, plog)
+                tok_pt = put(st.tok_pt, pt)
+                tok_ptsum = put(st.tok_ptsum, ptsum)
+                tok_tid = put(st.tok_tid, tid)
+                sum_lp = jnp.where(live, new_sum, st.sum_logprobs_all)
+
+                # ---- decoder state machine (whisper.cpp:5421-5507)
+                has_ts, failed, completed = st.has_ts, st.failed, st.completed
+                seek_delta, result_len = st.seek_delta, st.result_len
+
+                is_ts_tok = ids > beg
+                sd_new = 2 * (ids - beg)
+                back_in_time = (has_ts & (seek_delta > sd_new)
+                                & (result_len < i))
+                fail_ts = live & is_ts_tok & back_in_time
+                take_ts = live & is_ts_tok & ~back_in_time
+                seek_delta = jnp.where(take_ts, sd_new, seek_delta)
+                result_len = jnp.where(take_ts, i + 1, result_len)
+                has_ts = jnp.where(take_ts, True, has_ts)
+                failed = failed | fail_ts
+
+                alive = live & ~fail_ts
+                end_of_text = ids == eot
+                max_tok = (statics.max_tokens > 0) & (i >= statics.max_tokens)
+                end_of_audio = has_ts & (seek + seek_delta + 100 >= seek_end)
+                wants_end = alive & (end_of_text | max_tok | end_of_audio)
+
+                zero_res = result_len == 0
+                rescue = seek + seek_delta + 100 >= seek_end
+                fail_zero = wants_end & zero_res & ~rescue
+                result_len = jnp.where(wants_end & zero_res & rescue,
+                                       i + 1, result_len)
+                failed = failed | fail_zero
+                complete_now = wants_end & ~(zero_res & ~rescue)
+                if statics.single_segment:
+                    result_len = jnp.where(complete_now, i + 1, result_len)
+                    seek_delta = jnp.where(complete_now, SEEK_DELTA_FULL,
+                                           seek_delta)
+                completed = completed | complete_now
+
+                if statics.test_mode:
+                    # stub checkpoint: complete immediately
+                    # (whisper.cpp:5492-5497)
+                    still = alive & ~complete_now & ~fail_zero
+                    seek_delta = jnp.where(still, SEEK_DELTA_FULL, seek_delta)
+                    completed = completed | still
+
+                # repetition-loop failure on the final step
+                # (whisper.cpp:5500-5506)
+                rep = ((i == N_MAX - 1)
+                       & ((result_len == 0)
+                          | (seek_delta < SEEK_DELTA_FULL // 2)))
+                failed = failed | (alive & ~complete_now & rep)
+
+                st = st._replace(
+                    tokens=tokens, tok_p=tok_p, tok_plog=tok_plog,
+                    tok_pt=tok_pt, tok_ptsum=tok_ptsum, tok_tid=tok_tid,
+                    sum_logprobs_all=sum_lp, has_ts=has_ts, failed=failed,
+                    completed=completed, seek_delta=seek_delta,
+                    result_len=result_len, rng=rng)
+
+                # ---- next-step logits for still-live decoders
+                # (whisper.cpp:5530-5608)
+                def next_probs(st: LoopState) -> LoopState:
+                    pos = jnp.full((B, 1), n_prompt + i, dtype=jnp.int32)
+                    smask = step_mask(config, jnp.full((B,), n_prompt + i),
+                                      B).reshape(B, 1, 1, config.n_text_ctx)
+                    logits, kv = decoder_forward(
+                        params, config, tokens[:, i][:, None], pos,
+                        st.kv, xkv_b, smask)
+                    penult = jnp.where(i >= 1, tokens[rows, jnp.maximum(
+                        i - 1, 0)], -1)
+                    st_like = {"temp": temperature, "has_ts": st.has_ts,
+                               "seek_delta": st.seek_delta}
+                    _, logprobs, probs = proc(
+                        logits[:, 0], st_like,
+                        is_initial=jnp.zeros((B,), bool),
+                        n_tokens=jnp.full((B,), i + 1, jnp.int32),
+                        last=tokens[:, i], penult=penult)
+                    return st._replace(kv=kv, probs=probs, logprobs=logprobs)
+
+                all_done = jnp.all(st.completed | st.failed)
+                st = lax.cond(all_done | (i >= N_MAX - 1),
+                              lambda s: s, next_probs, st)
+                return st._replace(i=i + 1)
+
+            return lax.while_loop(cond, body, st)
+
+        return jax.jit(window_fn)
+
+    # ------------------------------------------------------------------- call
+    def decode(
+        self,
+        params,
+        xkv: CrossKV,               # batch axis == n_decoders (broadcast ok)
+        prompt_tokens: np.ndarray,  # (P,) int32
+        *,
+        n_decoders: int,
+        temperature: float,
+        strategy: str,
+        beam_size: int,
+        seek: int,
+        seek_end: int,
+        suppress_blank: bool,
+        no_timestamps: bool,
+        single_segment: bool,
+        max_tokens: int,
+        test_mode: bool,
+        seed: int = 0,
+    ) -> WindowResult:
+        config = self.config
+        n_max = config.n_text_ctx // 2 - 4  # whisper.cpp:5288
+        P = int(len(prompt_tokens))
+        # bucket prompt length to limit recompiles
+        pad = 8
+        while pad < P:
+            pad *= 2
+        pad = min(pad, config.n_text_ctx // 2 + 8)
+
+        statics = WindowStatics(
+            config=config, batch=n_decoders, n_max=n_max, prompt_pad=pad,
+            strategy=strategy, beam_size=beam_size,
+            greedy_argmax=(strategy == "greedy" and temperature < 1e-6),
+            suppress_blank=suppress_blank, no_timestamps=no_timestamps,
+            single_segment=single_segment, max_tokens=max_tokens,
+            test_mode=test_mode)
+
+        fn = self._cache.get(statics)
+        if fn is None:
+            fn = self._build(statics)
+            self._cache[statics] = fn
+
+        prompt_arr = np.zeros(pad, dtype=np.int32)
+        prompt_arr[:P] = prompt_tokens
+
+        # broadcast cross-KV to the decoder batch
+        if xkv.k.shape[1] == 1 and n_decoders > 1:
+            xkv = CrossKV(
+                k=jnp.broadcast_to(xkv.k, (xkv.k.shape[0], n_decoders)
+                                   + xkv.k.shape[2:]),
+                v=jnp.broadcast_to(xkv.v, (xkv.v.shape[0], n_decoders)
+                                   + xkv.v.shape[2:]))
+
+        st = fn(params, xkv, jnp.asarray(prompt_arr), jnp.int32(P),
+                jnp.float32(temperature), jnp.int32(seek),
+                jnp.int32(seek_end), jax.random.PRNGKey(seed))
+
+        return WindowResult(
+            tokens=np.asarray(st.tokens),
+            tok_p=np.asarray(st.tok_p),
+            tok_plog=np.asarray(st.tok_plog),
+            tok_pt=np.asarray(st.tok_pt),
+            tok_ptsum=np.asarray(st.tok_ptsum),
+            tok_tid=np.asarray(st.tok_tid),
+            completed=np.asarray(st.completed),
+            failed=np.asarray(st.failed),
+            has_ts=np.asarray(st.has_ts),
+            seek_delta=np.asarray(st.seek_delta),
+            result_len=np.asarray(st.result_len),
+            sum_logprobs_all=np.asarray(st.sum_logprobs_all),
+            n_steps=int(st.i))

@@ -1,0 +1,298 @@
+"""Whisper forward passes: conv stem + encoder, cross-KV precompute, decoder.
+
+Behavioral contract mirrors the reference graphs:
+- conv stem: 2x conv1d(k=3, pad=1) + GELU, second stride 2
+  (/root/reference/thirdparty/whisper.cpp/whisper.cpp:1712-1723);
+- encoder: pre-LN blocks, K projection has no bias, 4x GELU MLP, final
+  ln_post; positional embedding sliced to the (possibly reduced) audio_ctx
+  (whisper.cpp:1756-2003);
+- cross-KV precompute amortizes K/V projections of the encoder output over
+  all decode steps (whisper.cpp:2005-2074);
+- decoder: token+pos embedding, causal self-attn over a KV cache, cross-attn
+  without mask, logits = x @ token_embed^T (whisper.cpp:2148-2505).
+
+TPU-first design choices (deliberately NOT the reference's):
+- layers run under ``lax.scan`` over stacked weights (flat compile time);
+- the KV cache is a fixed-shape functional array
+  ``(layers, batch, n_text_ctx, heads, head_dim)`` updated with
+  ``dynamic_update_slice`` — beam reorder is a gather on the batch axis,
+  replacing the reference's cell/seq-id mutation machinery
+  (whisper.cpp:639-1054);
+- masks are computed from positions, never materialized per sequence;
+- all matmuls run in bfloat16 with float32 accumulation; LayerNorm and
+  softmax run in float32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .config import WhisperConfig
+
+Params = Dict[str, Any]
+
+_NEG_INF = jnp.float32(-1e30)
+
+
+def layer_norm(x: jax.Array, g: jax.Array, b: jax.Array,
+               eps: float = 1e-5) -> jax.Array:
+    """Float32 LayerNorm regardless of input dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    return y * g + b
+
+
+def _heads(x: jax.Array, n_head: int) -> jax.Array:
+    """(..., T, S) -> (..., T, H, Dh)."""
+    return x.reshape(*x.shape[:-1], n_head, x.shape[-1] // n_head)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    """(..., T, H, Dh) -> (..., T, S)."""
+    return x.reshape(*x.shape[:-2], x.shape[-2] * x.shape[-1])
+
+
+def mha(q: jax.Array, k: jax.Array, v: jax.Array,
+        mask: Optional[jax.Array] = None) -> jax.Array:
+    """Multi-head attention core.
+
+    q: (B, Tq, H, Dh), k/v: (B, Tk, H, Dh); mask broadcastable to
+    (B, H, Tq, Tk) — additive, float32.  Returns (B, Tq, H, Dh).
+    Softmax in float32; the 1/sqrt(Dh) scale is applied here (the reference
+    splits it across pre-scaled Q and K, whisper.cpp:1835-1845 — numerically
+    equivalent).
+    """
+    dh = q.shape[-1]
+    scale = jnp.float32(1.0 / (dh ** 0.5))
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out
+
+
+def _proj(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None,
+          out_dtype=None) -> jax.Array:
+    y = jnp.einsum("...i,io->...o", x, w,
+                   preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b
+    return y.astype(out_dtype if out_dtype is not None else w.dtype)
+
+
+# ================================================================== encoder ==
+def encoder_forward(params: Params, config: WhisperConfig,
+                    mel_window: jax.Array,
+                    audio_ctx: Optional[int] = None) -> jax.Array:
+    """Conv stem + transformer encoder.
+
+    mel_window: (B, 2*audio_ctx, n_mels) float32 — the mel slice
+    [offset, offset + 2*n_ctx) as copied at whisper.cpp:1697-1706.
+    Returns (B, audio_ctx, n_state) in compute dtype.
+    """
+    enc = params["encoder"]
+    n_ctx = audio_ctx or config.n_audio_ctx
+    n_head = config.n_audio_head
+    cdtype = enc["conv1"]["w"].dtype
+
+    # Conv stem in compute dtype (the MXU accumulates bf16 convs in f32;
+    # preferred_element_type is avoided because its transpose rule breaks
+    # mixed-dtype gradients).  Bias + GELU in f32.
+    x = mel_window.astype(cdtype)
+    dn = ("NWC", "WIO", "NWC")
+    x = lax.conv_general_dilated(x, enc["conv1"]["w"], (1,), [(1, 1)],
+                                 dimension_numbers=dn)
+    x = jax.nn.gelu(x.astype(jnp.float32) + enc["conv1"]["b"],
+                    approximate=False)
+    x = x.astype(cdtype)
+    x = lax.conv_general_dilated(x, enc["conv2"]["w"], (2,), [(1, 1)],
+                                 dimension_numbers=dn)
+    x = jax.nn.gelu(x.astype(jnp.float32) + enc["conv2"]["b"],
+                    approximate=False)
+
+    # Positional embedding: first n_ctx rows (reduced-audio_ctx view,
+    # whisper.cpp:1801-1807).
+    x = x + enc["pos_embed"][:n_ctx]
+    x = x.astype(cdtype)
+
+    blocks = enc["blocks"]
+
+    def block(x, layer):
+        ln0, attn, ln1, mlp = (layer["attn_ln"], layer["attn"],
+                               layer["mlp_ln"], layer["mlp"])
+        h = layer_norm(x, ln0["g"], ln0["b"]).astype(cdtype)
+        q = _heads(_proj(h, attn["wq"], attn["bq"]), n_head)
+        k = _heads(_proj(h, attn["wk"]), n_head)
+        v = _heads(_proj(h, attn["wv"], attn["bv"]), n_head)
+        o = _merge_heads(mha(q, k, v)).astype(cdtype)
+        x = x + _proj(o, attn["wo"], attn["bo"], out_dtype=cdtype)
+
+        h = layer_norm(x, ln1["g"], ln1["b"]).astype(cdtype)
+        h = jax.nn.gelu(_proj(h, mlp["w0"], mlp["b0"]), approximate=False)
+        h = _proj(h.astype(cdtype), mlp["w1"], mlp["b1"], out_dtype=cdtype)
+        return (x + h).astype(cdtype), None
+
+    x, _ = lax.scan(lambda carry, layer: block(carry, layer), x, blocks)
+    x = layer_norm(x, enc["ln_post"]["g"], enc["ln_post"]["b"])
+    return x.astype(cdtype)
+
+
+# ================================================================= cross-KV ==
+class CrossKV(NamedTuple):
+    k: jax.Array  # (L, B, n_audio_ctx, H, Dh)
+    v: jax.Array  # (L, B, n_audio_ctx, H, Dh)
+
+
+def cross_kv(params: Params, config: WhisperConfig,
+             enc_out: jax.Array) -> CrossKV:
+    """Precompute cross-attention K/V for every decoder layer
+    (whisper.cpp:2005-2074)."""
+    n_head = config.n_text_head
+    ca = params["decoder"]["blocks"]["cross_attn"]
+
+    def one_layer(_, layer):
+        k = _heads(_proj(enc_out, layer["wk"]), n_head)
+        v = _heads(_proj(enc_out, layer["wv"], layer["bv"]), n_head)
+        return None, (k, v)
+
+    _, (k, v) = lax.scan(one_layer, None,
+                         {"wk": ca["wk"], "wv": ca["wv"], "bv": ca["bv"]})
+    return CrossKV(k=k, v=v)
+
+
+# ================================================================== decoder ==
+class KVCache(NamedTuple):
+    k: jax.Array  # (L, B, n_text_ctx, H, Dh)
+    v: jax.Array  # (L, B, n_text_ctx, H, Dh)
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[1]
+
+
+def init_kv_cache(config: WhisperConfig, batch: int,
+                  dtype=jnp.bfloat16) -> KVCache:
+    shape = (config.n_text_layer, batch, config.n_text_ctx,
+             config.n_text_head, config.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def reorder_kv_cache(cache: KVCache, src: jax.Array) -> KVCache:
+    """Beam reorder: cache[:, j] <- cache[:, src[j]].
+
+    The functional equivalent of the reference's seq_cp/seq_rm dance through
+    scratch sequence ids (whisper.cpp:5402-5418).
+    """
+    return KVCache(k=jnp.take(cache.k, src, axis=1),
+                   v=jnp.take(cache.v, src, axis=1))
+
+
+def decoder_forward(
+    params: Params,
+    config: WhisperConfig,
+    tokens: jax.Array,        # (B, T) int32
+    positions: jax.Array,     # (B, T) int32 — absolute positions
+    kv: KVCache,
+    xkv: CrossKV,
+    self_mask: jax.Array,     # (B, 1, T, n_text_ctx) additive f32
+) -> Tuple[jax.Array, KVCache]:
+    """Decoder over T new tokens per batch row; returns (logits, new kv).
+
+    Works for both the prompt pass (T = padded prompt length) and the
+    autoregressive step (T = 1) — the reference builds a fresh ggml graph
+    per call (whisper.cpp:2148-2505); here both modes are the same traced
+    function, distinguished only by static T.
+
+    KV writes land at ``positions`` via one scatter per layer.
+    logits: (B, T, n_vocab) float32.
+    """
+    dec = params["decoder"]
+    n_head = config.n_text_head
+    cdtype = dec["token_embed"].dtype
+    B, T = tokens.shape
+
+    x = dec["token_embed"][tokens].astype(jnp.float32)
+    x = x + dec["pos_embed"][positions]
+    x = x.astype(cdtype)
+
+    blocks = dec["blocks"]
+    # batch indices for the KV scatter: (B, T)
+    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
+
+    # Scan over the layer axis of both the stacked weights and the caches.
+    def one_layer(x, inputs):
+        layer, kv_k, kv_v, xk, xv = inputs
+        ln0 = layer["attn_ln"]
+        attn = layer["attn"]
+        h = layer_norm(x, ln0["g"], ln0["b"]).astype(cdtype)
+        q = _heads(_proj(h, attn["wq"], attn["bq"]), n_head)
+        k_new = _heads(_proj(h, attn["wk"]), n_head)
+        v_new = _heads(_proj(h, attn["wv"], attn["bv"]), n_head)
+
+        # scatter new K/V into the cache at `positions`
+        kv_k = kv_k.at[b_idx, positions].set(k_new.astype(kv_k.dtype))
+        kv_v = kv_v.at[b_idx, positions].set(v_new.astype(kv_v.dtype))
+
+        o = _merge_heads(mha(q, kv_k, kv_v, self_mask)).astype(cdtype)
+        x = x + _proj(o, attn["wo"], attn["bo"], out_dtype=cdtype)
+
+        lnc = layer["cross_attn_ln"]
+        cattn = layer["cross_attn"]
+        h = layer_norm(x, lnc["g"], lnc["b"]).astype(cdtype)
+        qc = _heads(_proj(h, cattn["wq"], cattn["bq"]), n_head)
+        oc = _merge_heads(mha(qc, xk, xv)).astype(cdtype)
+        x = x + _proj(oc, cattn["wo"], cattn["bo"], out_dtype=cdtype)
+
+        ln1 = layer["mlp_ln"]
+        mlp = layer["mlp"]
+        h = layer_norm(x, ln1["g"], ln1["b"]).astype(cdtype)
+        h = jax.nn.gelu(_proj(h, mlp["w0"], mlp["b0"]), approximate=False)
+        h = _proj(h.astype(cdtype), mlp["w1"], mlp["b1"], out_dtype=cdtype)
+        x = (x + h).astype(cdtype)
+        return x, (kv_k, kv_v)
+
+    x, (new_k, new_v) = lax.scan(
+        lambda c, inp: one_layer(c, inp), x,
+        (blocks, kv.k, kv.v, xkv.k, xkv.v))
+
+    x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"]).astype(cdtype)
+    logits = jnp.einsum("bts,vs->btv", x, dec["token_embed"],
+                        preferred_element_type=jnp.float32)
+    return logits, KVCache(k=new_k, v=new_v)
+
+
+def causal_prompt_mask(config: WhisperConfig, n_prompt: jax.Array,
+                       T: int, batch: int) -> jax.Array:
+    """Additive mask for a padded prompt pass.
+
+    Token t (absolute position t) attends to cache positions <= t and only
+    within [0, n_prompt).  Padding rows (t >= n_prompt) are fully masked to
+    position 0 to stay numerically finite.
+    """
+    ctx = config.n_text_ctx
+    q_pos = jnp.arange(T)[:, None]
+    k_pos = jnp.arange(ctx)[None, :]
+    ok = (k_pos <= q_pos) & (k_pos < n_prompt)
+    ok = ok | (k_pos == 0)
+    mask = jnp.where(ok, 0.0, _NEG_INF).astype(jnp.float32)
+    return jnp.broadcast_to(mask[None, None], (batch, 1, T, ctx))
+
+
+def step_mask(config: WhisperConfig, n_past: jax.Array,
+              batch: int) -> jax.Array:
+    """Additive mask for a single-token step at position ``n_past``:
+    attend to cache positions <= n_past."""
+    ctx = config.n_text_ctx
+    k_pos = jnp.arange(ctx)[None, None, None, :]
+    ok = k_pos <= n_past.reshape(-1, 1, 1, 1)
+    return jnp.where(ok, 0.0, _NEG_INF).astype(jnp.float32)

@@ -1,0 +1,109 @@
+"""Device-mesh sharding specs.
+
+The scale-out design the reference lacks entirely (SURVEY.md §2e: no tensor
+parallelism, no collectives — its only parallelism is host threads,
+whisper.cpp:5817-5930).  Here:
+
+- mesh axes ``("dp", "tp")``: utterance streams are data-parallel over
+  ``dp`` (replacing whisper_full_parallel's thread-per-chunk with
+  batch-per-chip), weights tensor-parallel over ``tp`` for models that
+  exceed one chip's HBM (large-v3);
+- TP follows the Megatron pattern: attention QKV and MLP up-projection
+  sharded on the output feature axis, out-proj / down-projection sharded on
+  the input axis so each block needs one reduce per sub-layer — XLA GSPMD
+  inserts the psum over ICI;
+- the vocabulary axis of the token embedding is sharded over ``tp``: logits
+  come out vocab-sharded and argmax/top-k reductions run distributed.
+
+All of this is annotation-only: the model code in models/model.py stays
+unchanged, GSPMD does the partitioning.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.config import WhisperConfig
+
+
+def make_mesh(dp: int = 1, tp: int = 1,
+              devices=None) -> Mesh:
+    """Build a ("dp", "tp") mesh over the given (or all) devices."""
+    devices = devices if devices is not None else jax.devices()
+    if dp * tp > len(devices):
+        raise ValueError(f"need {dp * tp} devices, have {len(devices)}")
+    dev = np.asarray(devices[:dp * tp]).reshape(dp, tp)
+    return Mesh(dev, axis_names=("dp", "tp"))
+
+
+def _attn_pspecs() -> Dict[str, P]:
+    return {
+        "wq": P(None, None, "tp"), "bq": P(None, "tp"),
+        "wk": P(None, None, "tp"),
+        "wv": P(None, None, "tp"), "bv": P(None, "tp"),
+        "wo": P(None, "tp", None), "bo": P(None, None),
+    }
+
+
+def _mlp_pspecs() -> Dict[str, P]:
+    return {
+        "w0": P(None, None, "tp"), "b0": P(None, "tp"),
+        "w1": P(None, "tp", None), "b1": P(None, None),
+    }
+
+
+def _ln_pspecs() -> Dict[str, P]:
+    return {"g": P(None, None), "b": P(None, None)}
+
+
+def param_pspecs(config: WhisperConfig) -> Dict[str, Any]:
+    """PartitionSpec pytree matching models/params.py's layout."""
+    enc_blocks = {
+        "attn_ln": _ln_pspecs(), "attn": _attn_pspecs(),
+        "mlp_ln": _ln_pspecs(), "mlp": _mlp_pspecs(),
+    }
+    dec_blocks = {
+        "attn_ln": _ln_pspecs(), "attn": _attn_pspecs(),
+        "cross_attn_ln": _ln_pspecs(), "cross_attn": _attn_pspecs(),
+        "mlp_ln": _ln_pspecs(), "mlp": _mlp_pspecs(),
+    }
+    return {
+        "encoder": {
+            "pos_embed": P(None, None),
+            "conv1": {"w": P(None, None, "tp"), "b": P("tp")},
+            "conv2": {"w": P(None, None, "tp"), "b": P("tp")},
+            "ln_post": {"g": P(None), "b": P(None)},
+            "blocks": enc_blocks,
+        },
+        "decoder": {
+            "pos_embed": P(None, None),
+            "token_embed": P("tp", None),
+            "ln": {"g": P(None), "b": P(None)},
+            "blocks": dec_blocks,
+        },
+    }
+
+
+def shard_params(params, mesh: Mesh, config: WhisperConfig):
+    """Place a parameter pytree onto the mesh with TP shardings."""
+    specs = param_pspecs(config)
+
+    def place(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, params, specs)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis data-parallel sharding for stream batches."""
+    return NamedSharding(mesh, P("dp"))

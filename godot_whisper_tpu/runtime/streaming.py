@@ -1,0 +1,221 @@
+"""Realtime chunked streaming transcription.
+
+The framework's "serve loop" — a faithful re-design of the reference's two
+streaming schedulers:
+
+- ``CaptureStreamToText.transcribe_thread``
+  (/root/reference/bin/addons/godot_whisper/capture_stream_to_text.gd:69-120):
+  accumulate -> resample -> VAD -> dynamic audio_ctx -> transcribe ->
+  sentence-finalization heuristics -> keep last 0.2 s -> emit signal ->
+  sleep the remainder of transcribe_interval;
+- ``SpeechToText::transcribe``'s parameter recipe
+  (/root/reference/src/speech_to_text.cpp:401-413): greedy,
+  single_segment, token_timestamps, split_on_word, suppress_non_speech,
+  dynamic audio_ctx, settings-driven max_tokens/entropy threshold.
+
+Instead of a dedicated OS thread + blocking sleeps, the scheduler is a
+plain object driven either by ``feed()`` calls (pull model, e.g. from an
+asyncio loop or a game tick) or by the built-in ``run()`` thread for
+drop-in behavior.  Device work stays inside the pipeline's jitted
+executables, so the Python layer only moves numpy buffers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+import threading
+import time
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ..audio.resample import Interpolator, mixdown, resample
+from ..audio.vad import vad_simple
+from ..decode.params import TranscribeParams
+from ..models.config import SAMPLE_RATE
+from .settings import get_setting
+
+
+def remove_special_characters(message: str) -> str:
+    """Strip [..], <..>, ♪..♪ spans and the ". you." hallucination
+    (audio_stream_to_text.gd:66-81)."""
+    for start, end in (("[", "]"), ("<", ">"), ("♪", "♪")):
+        while start in message:
+            b = message.find(start)
+            e = message.find(end, b + 1 if start == end else 0)
+            if e == -1:
+                break
+            message = message[:b] + message[e + 1:]
+    while ". you." in message:
+        b = message.find(". you.")
+        message = message[:b] + message[b + len(". you.") + 1:]
+    return message
+
+
+def has_terminating_characters(message: str, characters: str) -> bool:
+    return any(c in message for c in characters)
+
+
+@dataclasses.dataclass
+class StreamingConfig:
+    """Mirror of CaptureStreamToText's exported properties
+    (capture_stream_to_text.gd:10-45)."""
+    initial_prompt: str = ""
+    transcribe_interval: float = 0.3
+    use_dynamic_audio_context: bool = True
+    minimum_sentence_time: float = 3.0
+    maximum_sentence_time: float = 15.0
+    hallucinating_count: int = 1
+    punctuation_characters: str = ".!?;。；？！"
+    keep_seconds: float = 0.2          # finalize keep-back (gd:111-113)
+    vad_last_ms: int = 1000
+    language: str = "en"
+    interpolator: Interpolator = Interpolator.SINC_FASTEST
+
+
+class StreamingTranscriber:
+    """Push audio in, get (is_partial, text) callbacks out.
+
+    ``on_transcription(is_partial: bool, text: str)`` mirrors the
+    ``transcribed_msg`` signal (capture_stream_to_text.gd:5).
+    """
+
+    def __init__(self, ctx, config: Optional[StreamingConfig] = None,
+                 on_transcription: Optional[Callable[[bool, str], None]] = None,
+                 source_rate: int = SAMPLE_RATE):
+        self.ctx = ctx
+        self.cfg = config or StreamingConfig()
+        self.on_transcription = on_transcription
+        self.source_rate = source_rate
+        self._buffer = np.zeros(0, dtype=np.float32)  # source-rate samples
+        self._last_token_count = 0
+        self._lock = threading.Lock()
+        self._thread: Optional[threading.Thread] = None
+        self._recording = False
+        self.partial_text = ""
+        self.finalized_texts: List[str] = []
+
+    # ------------------------------------------------------------------- feed
+    def push_audio(self, frames: np.ndarray) -> None:
+        """Append captured frames (mono float32 or stereo (N,2)) at the
+        source rate — the AudioEffectCapture.get_buffer handoff."""
+        mono = mixdown(np.asarray(frames, dtype=np.float32))
+        with self._lock:
+            self._buffer = np.concatenate([self._buffer, mono])
+
+    def process_once(self) -> Optional[dict]:
+        """One scheduler iteration (transcribe_thread body, gd:69-120).
+
+        Returns a report dict or None when there was nothing to do.
+        """
+        cfg = self.cfg
+        t_start = time.perf_counter()
+
+        with self._lock:
+            buf = self._buffer.copy()
+        if len(buf) == 0:
+            return None
+
+        resampled = (resample(buf, self.source_rate, SAMPLE_RATE,
+                              cfg.interpolator)
+                     if self.source_rate != SAMPLE_RATE else buf)
+
+        no_activity = vad_simple(
+            resampled, SAMPLE_RATE, cfg.vad_last_ms,
+            vad_thold=float(get_setting(
+                "audio.input.transcribe.vad_threshold")),
+            freq_thold=float(get_setting(
+                "audio.input.transcribe.freq_threshold")))
+
+        total_time = len(resampled) / SAMPLE_RATE
+        # dynamic audio_ctx formula (gd:84)
+        audio_ctx = int(total_time * 1500 / 30 + 128)
+        if not cfg.use_dynamic_audio_context:
+            audio_ctx = 0
+        audio_ctx = min(audio_ctx, self.ctx.config.n_audio_ctx)
+
+        # transcribe with the glue's parameter recipe
+        # (src/speech_to_text.cpp:403-413)
+        tparams = TranscribeParams(
+            language=cfg.language,
+            audio_ctx=audio_ctx,
+            split_on_word=True,
+            token_timestamps=True,
+            suppress_non_speech_tokens=True,
+            single_segment=True,
+            max_tokens=int(get_setting("audio.input.transcribe.max_tokens")),
+            entropy_thold=float(get_setting(
+                "audio.input.transcribe.entropy_threshold")),
+            initial_prompt=cfg.initial_prompt or None,
+            print_progress=False,
+        )
+        segments = self.ctx.full(tparams, resampled)
+        n_tokens = sum(len(s.tokens) for s in segments)
+        full_text = "".join(s.text for s in segments)
+
+        # sentence finalization heuristics (gd:86-106)
+        finish_sentence = total_time > cfg.maximum_sentence_time
+        text = remove_special_characters(full_text)
+        if (has_terminating_characters(text, cfg.punctuation_characters)
+                or no_activity):
+            finish_sentence = True
+        if (total_time < cfg.minimum_sentence_time
+                or abs(n_tokens - self._last_token_count)
+                > cfg.hallucinating_count):
+            finish_sentence = False
+
+        elapsed = time.perf_counter() - t_start
+        if no_activity:
+            return {"text": None, "partial": True, "elapsed": elapsed,
+                    "no_activity": True}
+
+        if finish_sentence:
+            # keep the trailing keep_seconds of source audio (gd:111-113)
+            keep = int(cfg.keep_seconds * self.source_rate)
+            with self._lock:
+                self._buffer = self._buffer[max(0, len(self._buffer) - keep):]
+            self.finalized_texts.append(text)
+            self.partial_text = ""
+        else:
+            self.partial_text = text
+
+        self._last_token_count = n_tokens
+        if self.on_transcription:
+            self.on_transcription(not finish_sentence, full_text)
+
+        return {"text": full_text, "partial": not finish_sentence,
+                "elapsed": elapsed, "no_activity": False,
+                "audio_ctx": audio_ctx, "n_tokens": n_tokens}
+
+    # ------------------------------------------------------------- run thread
+    @property
+    def recording(self) -> bool:
+        return self._recording
+
+    def start(self) -> None:
+        """Spawn the scheduler thread (the _ready() + Thread.start path)."""
+        if self._thread and self._thread.is_alive():
+            self.stop()
+        self._recording = True
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._recording = False
+        if self._thread:
+            self._thread.join()
+            self._thread = None
+
+    def _run(self) -> None:
+        cfg = self.cfg
+        while self._recording:
+            t0 = time.perf_counter()
+            self.process_once()
+            # sleep the remainder of the interval (gd:118-120)
+            remaining = cfg.transcribe_interval - (time.perf_counter() - t0)
+            if remaining > 0:
+                time.sleep(remaining)
+
+    def text(self) -> str:
+        return "".join(self.finalized_texts) + self.partial_text

@@ -1,0 +1,88 @@
+"""Mel frontend golden tests: TPU matmul-DFT path vs float64 numpy oracle,
+and the oracle vs reference constants."""
+
+import numpy as np
+import pytest
+
+from godot_whisper_tpu.audio import mel as melmod
+from godot_whisper_tpu.audio.mel import (MelFrontend, frame_counts,
+                                         hann_window, log_mel_np,
+                                         mel_filterbank, pad_audio)
+
+
+@pytest.fixture(scope="module")
+def filters(stub_tiny_en):
+    return stub_tiny_en.mel_filters  # real 80x201 whisper filters
+
+
+def test_hann_periodic():
+    w = hann_window(400)
+    assert w[0] == 0.0
+    # periodic window: w[200] is the peak value 1.0
+    assert abs(w[200] - 1.0) < 1e-6
+    # and NOT symmetric endpoint (w[399] != 0)
+    assert w[399] > 0
+
+
+def test_pad_lengths():
+    x = np.zeros(16000, dtype=np.float32)
+    p = pad_audio(x)
+    assert len(p) == 16000 + 480000 + 400
+    n_len, n_len_org = frame_counts(16000)
+    assert n_len == (len(p) - 400) // 160
+    assert n_len_org == 1 + (16000 + 200 - 400) // 160
+
+
+def test_reflect_padding():
+    x = np.arange(1, 1000, dtype=np.float32)
+    p = pad_audio(x)
+    # head is x[1:201] reversed (whisper.cpp:2827)
+    np.testing.assert_array_equal(p[:200], x[1:201][::-1])
+    np.testing.assert_array_equal(p[200:200 + len(x)], x)
+
+
+def test_filterbank_matches_checkpoint(filters):
+    """Our Slaney filterbank reproduces the filters baked into real
+    checkpoints (they came from librosa)."""
+    ours = mel_filterbank(80)
+    assert ours.shape == filters.shape
+    np.testing.assert_allclose(ours, filters, atol=2e-4)
+
+
+def test_jax_mel_matches_oracle(filters, rng):
+    x = (rng.standard_normal(32000) * 0.1).astype(np.float32)
+    # add structure: a 440 Hz tone
+    t = np.arange(32000) / 16000.0
+    x += 0.5 * np.sin(2 * np.pi * 440 * t).astype(np.float32)
+
+    oracle = log_mel_np(x, filters)
+    fe = MelFrontend(filters)
+    got = fe(x)
+    assert got.shape == oracle.shape
+    # f32 DFT vs f64 oracle: tight everywhere except log10 near spectral
+    # nulls (the reference's own f32 FFT has the same drift vs f64).
+    diff = np.abs(got - oracle)
+    assert diff.mean() < 1e-3
+    assert np.quantile(diff, 0.999) < 5e-3
+    assert diff.max() < 0.05
+
+
+def test_jfk_mel(jfk_audio, filters):
+    fe = MelFrontend(filters)
+    mel = fe(jfk_audio)
+    n_len, n_len_org = frame_counts(len(jfk_audio))
+    assert mel.shape == (80, n_len)
+    # normalized range: (x+4)/4 with x in [max-8, max], so span <= 2
+    assert mel.max() - mel.min() <= 2.0 + 1e-5
+    # speech content should produce variation in the valid region
+    assert mel[:, :n_len_org].std() > 0.05
+
+
+def test_silence_mel(filters):
+    x = np.zeros(16000, dtype=np.float32)
+    oracle = log_mel_np(x, filters)
+    fe = MelFrontend(filters)
+    got = fe(x)
+    np.testing.assert_allclose(got, oracle, atol=5e-3)
+    # all-silence: every value is log10(1e-10) -> normalized (-10+4)/4 = -1.5
+    assert abs(float(got[0, 0]) - (-1.5)) < 1e-4
