@@ -34,6 +34,9 @@ def _make_audio(seconds: float, sr: int = 16000) -> np.ndarray:
 
 def main() -> None:
     import godot_whisper_tpu as gwt
+    from godot_whisper_tpu.runtime.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     model = os.environ.get("BENCH_MODEL", "tiny.en")
     audio_seconds = float(os.environ.get("BENCH_AUDIO_SECONDS", "120"))

@@ -176,7 +176,7 @@ class WhisperContext:
     # ----------------------------------------------------------------- stages
     def pcm_to_mel(self, samples: np.ndarray) -> np.ndarray:
         self._p.set_audio(samples)
-        return self._p._mel_data
+        return self._p.mel_host()
 
     def set_mel(self, mel: np.ndarray) -> None:
         self._p.set_mel(mel)

@@ -32,6 +32,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..models.config import (CHUNK_SECONDS, HOP_LENGTH, N_FFT, SAMPLE_RATE)
 
@@ -140,9 +141,19 @@ def log_mel_np(samples: np.ndarray, filters: np.ndarray) -> np.ndarray:
 
 
 # ------------------------------------------------------------------- jnp path
-@functools.lru_cache(maxsize=8)
-def _dft_bases(dtype_name: str):
-    """Cos/sin DFT bases (N_FFT, _BINS_PADDED); columns >= 201 are zero."""
+_SUB = 80  # gcd(N_FFT, HOP_LENGTH): framing becomes strided row slices
+
+
+@functools.lru_cache(maxsize=2)
+def _windowed_dft_basis():
+    """Windowed DFT basis (N_FFT, 2*_BINS_PADDED): hann*cos | -hann*sin.
+
+    The Hann window is folded into the basis so the whole STFT is a single
+    (n_frames, 400) @ (400, 408) matmul on the MXU.  NOTE: passed to the
+    jitted core as an ARGUMENT, never closed over — large trace-time
+    constants embedded in the HLO blow compile time up by orders of
+    magnitude on remote-compile toolchains.
+    """
     n = np.arange(N_FFT, dtype=np.float64)[:, None]
     k = np.arange(_BINS_PADDED, dtype=np.float64)[None, :]
     theta = 2.0 * np.pi * n * k / N_FFT
@@ -150,8 +161,9 @@ def _dft_bases(dtype_name: str):
     sin_b = -np.sin(theta)
     cos_b[:, N_FFT_BINS:] = 0.0
     sin_b[:, N_FFT_BINS:] = 0.0
-    dt = jnp.dtype(dtype_name)
-    return (jnp.asarray(cos_b, dtype=dt) , jnp.asarray(sin_b, dtype=dt))
+    win = hann_window().astype(np.float64)[:, None]
+    return jnp.asarray(np.concatenate([cos_b * win, sin_b * win], axis=1),
+                       dtype=jnp.float32)
 
 
 def _pad_filters(filters: np.ndarray) -> np.ndarray:
@@ -162,20 +174,27 @@ def _pad_filters(filters: np.ndarray) -> np.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("n_frames",))
-def _log_mel_frames(padded: jax.Array, filters_t: jax.Array,
-                    window: jax.Array, n_frames: int) -> jax.Array:
+@jax.jit
+def _log_mel_frames(padded: jax.Array, basis: jax.Array,
+                    filters_t: jax.Array) -> jax.Array:
     """Jitted core: padded samples -> normalized log-mel (n_mels, n_frames).
 
-    All-matmul: frame gather -> window -> [frames @ cosB, frames @ sinB]
-    -> power -> @ melT -> log10 -> global max-8 clamp -> (x+4)/4.
+    Overlapping frames (hop 160 < width 400) are materialized WITHOUT a
+    gather or conv: reshape to 80-sample rows, take 5 stride-2 row slices
+    and concatenate — frame i = rows[2i .. 2i+4].  Then one MXU matmul
+    against the windowed DFT basis, power, mel projection, log10, global
+    max-8 clamp, (x+4)/4 (whisper.cpp:2855-2871).
     """
-    idx = (jnp.arange(n_frames)[:, None] * HOP_LENGTH
-           + jnp.arange(N_FFT)[None, :])
-    frames = padded[idx] * window[None, :]
-    cos_b, sin_b = _dft_bases("float32")
-    re = jnp.dot(frames, cos_b, preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, sin_b, preferred_element_type=jnp.float32)
+    rows = padded.reshape(-1, _SUB)                    # (M, 80)
+    n_frames = (padded.shape[0] - N_FFT) // HOP_LENGTH + 1
+    cols = [lax.slice(rows, (j, 0), (j + 2 * (n_frames - 1) + 1, _SUB),
+                      (2, 1))
+            for j in range(N_FFT // _SUB)]             # 5 x (n_frames, 80)
+    frames = jnp.concatenate(cols, axis=1)             # (n_frames, 400)
+
+    spec = jnp.dot(frames, basis,
+                   preferred_element_type=jnp.float32)  # (n_frames, 408)
+    re, im = spec[:, :_BINS_PADDED], spec[:, _BINS_PADDED:]
     power = re * re + im * im
     mel = jnp.dot(power, filters_t, preferred_element_type=jnp.float32)
     mel = jnp.log10(jnp.maximum(mel, 1e-10))
@@ -191,21 +210,28 @@ class MelFrontend:
         self.filters = np.asarray(filters, dtype=np.float32)
         self.n_mels = self.filters.shape[0]
         self._filters_t = jnp.asarray(_pad_filters(self.filters))
-        self._window = jnp.asarray(hann_window())
 
-    def __call__(self, samples: np.ndarray) -> np.ndarray:
-        """Whole-utterance mel, shape (n_mels, n_len). Host in, host out."""
+    def device(self, samples: np.ndarray):
+        """Device-resident mel: (jnp (n_mels, bucketed_frames), n_len).
+
+        The array stays on the TPU — window slicing for the encoder happens
+        device-side (the reference instead copies each window through the
+        host, whisper.cpp:1692-1706).
+        """
         samples = np.asarray(samples, dtype=np.float32)
         n_len, _ = frame_counts(len(samples))
         padded = pad_audio(samples)
         # Bucket the padded length to 30 s multiples to bound jit cache size.
         bucket = -(-len(padded) // _CHUNK) * _CHUNK
         padded = np.pad(padded, (0, bucket - len(padded)))
-        n_frames_bucket = (bucket - N_FFT) // HOP_LENGTH + 1
-        mel = _log_mel_frames(jnp.asarray(padded), self._filters_t,
-                              self._window, n_frames_bucket)
-        out = np.asarray(mel)[:, :n_len]
-        return out
+        mel = _log_mel_frames(jnp.asarray(padded), _windowed_dft_basis(),
+                              self._filters_t)
+        return mel, min(n_len, mel.shape[1])
+
+    def __call__(self, samples: np.ndarray) -> np.ndarray:
+        """Whole-utterance mel, shape (n_mels, n_len). Host in, host out."""
+        mel, n_len = self.device(samples)
+        return np.asarray(mel)[:, :n_len]
 
     def mel_len(self, n_samples: int) -> Tuple[int, int]:
         return frame_counts(n_samples)

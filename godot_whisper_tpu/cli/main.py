@@ -71,7 +71,10 @@ def main(argv: List[str] = None) -> int:
     import godot_whisper_tpu as gwt
     from godot_whisper_tpu.audio.resample import resample
     from godot_whisper_tpu.audio.wav import read_wav
+    from godot_whisper_tpu.runtime.cache import enable_compilation_cache
     from . import outputs
+
+    enable_compilation_cache()
 
     if args.synthetic:
         ctx = gwt.WhisperContext.synthetic(args.synthetic)

@@ -74,6 +74,8 @@ class WhisperPipeline:
         self._encode_cache = {}
         self._window_decoders = {}
         self._mel_data: Optional[np.ndarray] = None
+        self._mel_device = None
+        self._mel_n_len = 0
         self._n_len_org = 0
         self._prompt_past: List[int] = []
         self._samples: Optional[np.ndarray] = None
@@ -96,6 +98,31 @@ class WhisperPipeline:
             self._encode_cache[audio_ctx] = fn
         return fn
 
+    def _encode_sliced_fn(self, audio_ctx: int, bucket_frames: int):
+        """Device-side window slice + encode: the mel stays resident on
+        the TPU instead of round-tripping each 30 s window through the host
+        (the reference's copy at whisper.cpp:1692-1706)."""
+        key = ("sliced", audio_ctx, bucket_frames)
+        fn = self._encode_cache.get(key)
+        if fn is None:
+            config = self.config
+            n_ctx = audio_ctx or config.n_audio_ctx
+
+            def encode(params, mel_full, seek, n_len):
+                window = jax.lax.dynamic_slice(
+                    mel_full, (0, seek), (config.n_mels, 2 * n_ctx))
+                idx = seek + jnp.arange(2 * n_ctx)
+                # zero outside the valid mel region (whisper.cpp:1695
+                # memsets the graph input)
+                window = jnp.where((idx < n_len)[None, :], window, 0.0)
+                enc = encoder_forward(params, config, window.T[None],
+                                      audio_ctx=audio_ctx)
+                return enc, cross_kv(params, config, enc)
+
+            fn = jax.jit(encode)
+            self._encode_cache[key] = fn
+        return fn
+
     def encode_window(self, seek: int, audio_ctx: int = 0):
         """Encode mel[seek : seek+2*n_ctx] -> (enc_out, CrossKV).
 
@@ -104,12 +131,19 @@ class WhisperPipeline:
         """
         n_ctx = audio_ctx or self.config.n_audio_ctx
         t0 = time.perf_counter()
-        mel = self._mel_data
-        window = np.zeros((2 * n_ctx, self.config.n_mels), dtype=np.float32)
-        i0 = min(seek, mel.shape[1])
-        i1 = min(seek + 2 * n_ctx, mel.shape[1])
-        window[:i1 - i0] = mel[:, i0:i1].T
-        enc, xkv = self._encode_fn(n_ctx)(self.params, window[None])
+        if self._mel_device is not None:
+            fn = self._encode_sliced_fn(audio_ctx,
+                                        self._mel_device.shape[1])
+            enc, xkv = fn(self.params, self._mel_device, jnp.int32(seek),
+                          jnp.int32(self._mel_n_len))
+        else:
+            mel = self._mel_data
+            window = np.zeros((2 * n_ctx, self.config.n_mels),
+                              dtype=np.float32)
+            i0 = min(seek, mel.shape[1])
+            i1 = min(seek + 2 * n_ctx, mel.shape[1])
+            window[:i1 - i0] = mel[:, i0:i1].T
+            enc, xkv = self._encode_fn(n_ctx)(self.params, window[None])
         jax.block_until_ready(xkv.k)
         self.timings.t_encode_us += int((time.perf_counter() - t0) * 1e6)
         self.timings.n_encode += 1
@@ -136,13 +170,23 @@ class WhisperPipeline:
     def set_audio(self, samples: np.ndarray) -> None:
         t0 = time.perf_counter()
         self._samples = np.asarray(samples, dtype=np.float32)
-        self._mel_data = self.mel(samples)
+        self._mel_device, self._mel_n_len = self.mel.device(samples)
+        jax.block_until_ready(self._mel_device)
+        self._mel_data = None  # host copy materialized lazily
         _, self._n_len_org = frame_counts(len(samples))
         self.timings.t_mel_us += int((time.perf_counter() - t0) * 1e6)
+
+    def mel_host(self) -> Optional[np.ndarray]:
+        """Host view of the current mel (n_mels, n_len)."""
+        if self._mel_data is None and self._mel_device is not None:
+            self._mel_data = np.asarray(
+                self._mel_device)[:, :self._mel_n_len]
+        return self._mel_data
 
     def set_mel(self, mel: np.ndarray, n_len_org: Optional[int] = None):
         """External mel injection (whisper_set_mel, whisper.h:262-270)."""
         self._mel_data = np.asarray(mel, dtype=np.float32)
+        self._mel_device = None
         self._n_len_org = n_len_org or mel.shape[1]
 
     # ------------------------------------------------------------------ full
@@ -154,7 +198,7 @@ class WhisperPipeline:
 
         if samples is not None and len(samples) > 0:
             self.set_audio(samples)
-        if self._mel_data is None:
+        if self._mel_data is None and self._mel_device is None:
             raise ValueError("no audio or mel set")
 
         # language auto-detect (whisper.cpp:4985-5001)
@@ -258,17 +302,37 @@ class WhisperPipeline:
                 prompt += prompt_init
 
                 t0 = time.perf_counter()
-                res = wd.decode(
-                    self.params, xkv, np.asarray(prompt, dtype=np.int32),
-                    n_decoders=n_dec, temperature=t_cur, strategy=strategy,
-                    beam_size=tparams.beam_size, seek=seek,
-                    seek_end=seek_end,
-                    suppress_blank=tparams.suppress_blank,
-                    no_timestamps=no_timestamps,
-                    single_segment=tparams.single_segment,
-                    max_tokens=tparams.max_tokens,
-                    test_mode=(self.n_loaded == 0),
-                    seed=tparams.seed + it)
+                host_mode = (tparams.grammar_rules is not None
+                             or tparams.logits_filter_callback is not None)
+                if host_mode:
+                    # per-token host interaction (grammar / logit hook):
+                    # slow path, single greedy decoder
+                    # (grammar re-inited per attempt, whisper.cpp:5228-5232)
+                    n_dec = 1
+                    res = self._host_decoder(tparams).decode(
+                        self.params, xkv, np.asarray(prompt, dtype=np.int32),
+                        temperature=t_cur, seek=seek, seek_end=seek_end,
+                        suppress_blank=tparams.suppress_blank,
+                        no_timestamps=no_timestamps,
+                        single_segment=tparams.single_segment,
+                        max_tokens=tparams.max_tokens,
+                        grammar=self._make_grammar(tparams),
+                        grammar_penalty=tparams.grammar_penalty,
+                        logits_filter_callback=tparams.logits_filter_callback,
+                        seed=tparams.seed + it)
+                else:
+                    res = wd.decode(
+                        self.params, xkv, np.asarray(prompt, dtype=np.int32),
+                        n_decoders=n_dec, temperature=t_cur,
+                        strategy=strategy,
+                        beam_size=tparams.beam_size, seek=seek,
+                        seek_end=seek_end,
+                        suppress_blank=tparams.suppress_blank,
+                        no_timestamps=no_timestamps,
+                        single_segment=tparams.single_segment,
+                        max_tokens=tparams.max_tokens,
+                        test_mode=(self.n_loaded == 0),
+                        seed=tparams.seed + it)
                 self.timings.t_decode_us += int(
                     (time.perf_counter() - t0) * 1e6)
                 self.timings.n_decode += res.n_steps * n_dec
@@ -322,6 +386,34 @@ class WhisperPipeline:
         return self.segments
 
     # ------------------------------------------------------------- internals
+    def _make_grammar(self, tparams: TranscribeParams):
+        """Fresh grammar state per decode attempt."""
+        rules = tparams.grammar_rules
+        if rules is None:
+            return None
+        from .grammar import Grammar, grammar_from_gbnf
+        if isinstance(rules, str):
+            return grammar_from_gbnf(rules)
+        if isinstance(rules, Grammar):
+            # re-init from the same rule set
+            return Grammar(rules.rules, tparams.i_start_rule)
+        return Grammar(list(rules), tparams.i_start_rule)
+
+    def _host_decoder(self, tparams: TranscribeParams):
+        key = ("host", tparams.suppress_non_speech_tokens,
+               tparams.tdrz_enable, round(tparams.max_initial_ts, 6))
+        hd = self._window_decoders.get(key)
+        if hd is None:
+            from .host_loop import HostWindowDecoder
+            fctx = build_filter_context(
+                self.config, self.tokenizer,
+                suppress_non_speech=tparams.suppress_non_speech_tokens,
+                tdrz_enable=tparams.tdrz_enable,
+                max_initial_ts=tparams.max_initial_ts)
+            hd = HostWindowDecoder(self.config, fctx, self.tokenizer)
+            self._window_decoders[key] = hd
+        return hd
+
     def _window_decoder(self, tparams: TranscribeParams) -> WindowDecoder:
         key = (tparams.suppress_non_speech_tokens, tparams.tdrz_enable,
                round(tparams.max_initial_ts, 6))

@@ -180,7 +180,11 @@ def compute_token_level_timestamps(pipeline, i_segment: int,
             while k < n_samples - 1 and energy[k] > thold:
                 k += 1
             tokens[j].t1 = _sample_to_ts(k)
-            if j < ns - 1 and tokens[j].t1 > tokens[j + 1].t0:
+            # upstream compares j against `ns` (the VAD window sample count,
+            # whisper.cpp:6558) which is surely meant to be the token count;
+            # in C++ the j+1 == n read is silent OOB — here it must be
+            # guarded explicitly.
+            if j < ns - 1 and j + 1 < n and tokens[j].t1 > tokens[j + 1].t0:
                 tokens[j].t1 = tokens[j + 1].t0
             else:
                 s1 = k

@@ -100,6 +100,11 @@ class WindowStatics:
     single_segment: bool
     max_tokens: int
     test_mode: bool         # weightless stub model fast-path
+    # per_stream: the batch axis is CONCURRENT STREAMS (each row its own
+    # prompt / seek window) instead of beams of one stream — the TPU-native
+    # throughput mode the reference cannot express (its parallelism is one
+    # host thread per chunk, whisper.cpp:5817-5930).  Greedy only.
+    per_stream: bool = False
 
 
 def _sample_greedy(st: LoopState, statics: WindowStatics, fctx: FilterContext):
@@ -211,7 +216,8 @@ class WindowDecoder:
         eot = fctx.token_eot
         beg = fctx.token_beg
 
-        def proc(logits, st_like, *, is_initial, n_tokens, last, penult):
+        def proc(logits, st_like, *, is_initial, n_tokens, last, penult,
+                 fctx):
             return process_logits(
                 logits, fctx=fctx,
                 temperature=st_like["temp"],
@@ -225,24 +231,45 @@ class WindowDecoder:
         def window_fn(params, xkv_b: CrossKV, prompt: jax.Array,
                       n_prompt: jax.Array, temperature: jax.Array,
                       seek: jax.Array, seek_end: jax.Array,
-                      rng: jax.Array) -> LoopState:
-            # ---- prompt pass (whisper.cpp:5258-5285): decode prompt with
-            # B=1, broadcast the KV cache to all decoders (the functional
-            # equivalent of kv_cache_seq_cp 0->j, whisper.cpp:5277).
-            kv1 = init_kv_cache(config, 1, dtype=params["decoder"][
-                "token_embed"].dtype)
-            positions = jnp.arange(P, dtype=jnp.int32)[None]
-            pmask = causal_prompt_mask(config, n_prompt, P, 1)
-            xkv1 = CrossKV(k=xkv_b.k[:, :1], v=xkv_b.v[:, :1])
-            plogits, kv1 = decoder_forward(
-                params, config, prompt[None], positions, kv1, xkv1, pmask)
-            last_logits = plogits[0, n_prompt - 1][None]        # (1, V)
-            last_logits = jnp.broadcast_to(last_logits, (B, V))
+                      rng: jax.Array, suppress_mask: jax.Array) -> LoopState:
+            # the static suppression mask rides in as an argument — a (V,)
+            # trace-time constant makes remote compiles pathologically slow
+            tfctx = fctx._replace(static_suppress=suppress_mask)
+            dtype = params["decoder"]["token_embed"].dtype
+            if statics.per_stream:
+                # ---- per-stream prompt pass: each row decodes its own
+                # prompt (B, P) with its own length (B,)
+                kv0 = init_kv_cache(config, B, dtype=dtype)
+                positions = jnp.broadcast_to(
+                    jnp.arange(P, dtype=jnp.int32), (B, P))
+                pmask = causal_prompt_mask(config, n_prompt, P, B)
+                plogits, kv = decoder_forward(
+                    params, config, prompt, positions, kv0, xkv_b, pmask)
+                last_logits = plogits[jnp.arange(B), n_prompt - 1]  # (B, V)
+            else:
+                # ---- shared prompt pass (whisper.cpp:5258-5285): decode
+                # with B=1, broadcast the KV cache to all decoders (the
+                # functional equivalent of kv_cache_seq_cp 0->j,
+                # whisper.cpp:5277).
+                kv1 = init_kv_cache(config, 1, dtype=dtype)
+                positions = jnp.arange(P, dtype=jnp.int32)[None]
+                pmask = causal_prompt_mask(config, n_prompt, P, 1)
+                xkv1 = CrossKV(k=xkv_b.k[:, :1], v=xkv_b.v[:, :1])
+                plogits, kv1 = decoder_forward(
+                    params, config, prompt[None], positions, kv1, xkv1,
+                    pmask)
+                last_logits = plogits[0, n_prompt - 1][None]        # (1, V)
+                last_logits = jnp.broadcast_to(last_logits, (B, V))
 
-            kv = KVCache(k=jnp.broadcast_to(
-                kv1.k, (kv1.k.shape[0], B) + kv1.k.shape[2:]),
-                v=jnp.broadcast_to(
-                    kv1.v, (kv1.v.shape[0], B) + kv1.v.shape[2:]))
+                kv = KVCache(k=jnp.broadcast_to(
+                    kv1.k, (kv1.k.shape[0], B) + kv1.k.shape[2:]),
+                    v=jnp.broadcast_to(
+                        kv1.v, (kv1.v.shape[0], B) + kv1.v.shape[2:]))
+
+            # normalize loop-carried scalars to per-row vectors
+            n_prompt = jnp.broadcast_to(jnp.asarray(n_prompt), (B,))
+            seek = jnp.broadcast_to(jnp.asarray(seek), (B,))
+            seek_end = jnp.broadcast_to(jnp.asarray(seek_end), (B,))
 
             zero_b = jnp.zeros((B,), jnp.int32)
             st_like = {"temp": temperature,
@@ -252,7 +279,8 @@ class WindowDecoder:
             _, logprobs0, probs0 = proc(
                 last_logits, st_like,
                 is_initial=jnp.ones((B,), bool),
-                n_tokens=zero_b, last=zero_b - 1, penult=zero_b - 1)
+                n_tokens=zero_b, last=zero_b - 1, penult=zero_b - 1,
+                fctx=tfctx)
 
             st = LoopState(
                 i=jnp.int32(0),
@@ -358,8 +386,8 @@ class WindowDecoder:
                 # ---- next-step logits for still-live decoders
                 # (whisper.cpp:5530-5608)
                 def next_probs(st: LoopState) -> LoopState:
-                    pos = jnp.full((B, 1), n_prompt + i, dtype=jnp.int32)
-                    smask = step_mask(config, jnp.full((B,), n_prompt + i),
+                    pos = (n_prompt + i)[:, None].astype(jnp.int32)
+                    smask = step_mask(config, n_prompt + i,
                                       B).reshape(B, 1, 1, config.n_text_ctx)
                     logits, kv = decoder_forward(
                         params, config, tokens[:, i][:, None], pos,
@@ -372,7 +400,7 @@ class WindowDecoder:
                         logits[:, 0], st_like,
                         is_initial=jnp.zeros((B,), bool),
                         n_tokens=jnp.full((B,), i + 1, jnp.int32),
-                        last=tokens[:, i], penult=penult)
+                        last=tokens[:, i], penult=penult, fctx=tfctx)
                     return st._replace(kv=kv, probs=probs, logprobs=logprobs)
 
                 all_done = jnp.all(st.completed | st.failed)
@@ -439,8 +467,66 @@ class WindowDecoder:
 
         st = fn(params, xkv, jnp.asarray(prompt_arr), jnp.int32(P),
                 jnp.float32(temperature), jnp.int32(seek),
-                jnp.int32(seek_end), jax.random.PRNGKey(seed))
+                jnp.int32(seek_end), jax.random.PRNGKey(seed),
+                self.fctx.static_suppress)
 
+        return self._to_result(st)
+
+    def decode_streams(
+        self,
+        params,
+        xkv: CrossKV,               # (L, B, ...) — one row per stream
+        prompts,                    # list of B int arrays (ragged)
+        seeks,                      # (B,) int
+        seek_ends,                  # (B,) int
+        *,
+        temperature: float = 0.0,
+        suppress_blank: bool,
+        no_timestamps: bool,
+        single_segment: bool,
+        max_tokens: int,
+        test_mode: bool,
+        seed: int = 0,
+    ) -> WindowResult:
+        """Per-stream batched greedy decode: the batch axis is concurrent
+        utterance streams, each with its own prompt and seek window."""
+        config = self.config
+        B = len(prompts)
+        n_max = config.n_text_ctx // 2 - 4
+        max_p = max(1, max(len(p) for p in prompts))
+        pad = 8
+        while pad < max_p:
+            pad *= 2
+        pad = min(pad, config.n_text_ctx // 2 + 8)
+
+        statics = WindowStatics(
+            config=config, batch=B, n_max=n_max, prompt_pad=pad,
+            strategy="greedy", beam_size=1,
+            greedy_argmax=(temperature < 1e-6),
+            suppress_blank=suppress_blank, no_timestamps=no_timestamps,
+            single_segment=single_segment, max_tokens=max_tokens,
+            test_mode=test_mode, per_stream=True)
+
+        fn = self._cache.get(statics)
+        if fn is None:
+            fn = self._build(statics)
+            self._cache[statics] = fn
+
+        prompt_arr = np.zeros((B, pad), dtype=np.int32)
+        n_prompt = np.empty(B, dtype=np.int32)
+        for i, p in enumerate(prompts):
+            n = min(len(p), pad)
+            prompt_arr[i, :n] = np.asarray(p[:n], dtype=np.int32)
+            n_prompt[i] = max(n, 1)
+
+        st = fn(params, xkv, jnp.asarray(prompt_arr), jnp.asarray(n_prompt),
+                jnp.float32(temperature),
+                jnp.asarray(np.asarray(seeks, dtype=np.int32)),
+                jnp.asarray(np.asarray(seek_ends, dtype=np.int32)),
+                jax.random.PRNGKey(seed), self.fctx.static_suppress)
+        return self._to_result(st)
+
+    def _to_result(self, st: LoopState) -> WindowResult:
         return WindowResult(
             tokens=np.asarray(st.tokens),
             tok_p=np.asarray(st.tok_p),

@@ -140,6 +140,50 @@ def _dequant(ttype: int, raw: bytes, n_elements: int) -> np.ndarray:
     raise ValueError(f"unsupported ggml tensor type {ttype}")
 
 
+def quantize_blocks(ttype: int, arr: np.ndarray) -> bytes:
+    """Quantize a float32 array to ggml block format (encode side of
+    _dequant; reference kernels in ggml-quants.c)."""
+    flat = np.ascontiguousarray(arr, dtype=np.float32).reshape(-1)
+    n = flat.size
+    assert n % _QBLOCK == 0, "tensor size must be a multiple of 32"
+    blocks = flat.reshape(-1, _QBLOCK)
+    nb = blocks.shape[0]
+    if ttype == GGML_TYPE_Q8_0:
+        d = np.abs(blocks).max(axis=1, keepdims=True) / 127.0
+        d_safe = np.where(d == 0, 1.0, d)
+        q = np.clip(np.round(blocks / d_safe), -127, 127).astype(np.int8)
+        out = np.empty((nb, 34), dtype=np.uint8)
+        out[:, :2] = d.astype("<f2").view(np.uint8)
+        out[:, 2:] = q.view(np.uint8)
+        return out.tobytes()
+    if ttype == GGML_TYPE_Q4_0:
+        amax_idx = np.argmax(np.abs(blocks), axis=1)
+        maxv = blocks[np.arange(nb), amax_idx]           # signed max-|x|
+        d = maxv / -8.0
+        d_safe = np.where(d == 0, 1.0, d)
+        q = np.clip(np.round(blocks / d_safe[:, None]) + 8, 0, 15
+                    ).astype(np.uint8)
+        lo, hi = q[:, :16], q[:, 16:]
+        out = np.empty((nb, 18), dtype=np.uint8)
+        out[:, :2] = d.astype("<f2")[:, None].view(np.uint8)
+        out[:, 2:] = lo | (hi << 4)
+        return out.tobytes()
+    if ttype == GGML_TYPE_Q4_1:
+        mn = blocks.min(axis=1)
+        mx = blocks.max(axis=1)
+        d = (mx - mn) / 15.0
+        d_safe = np.where(d == 0, 1.0, d)
+        q = np.clip(np.round((blocks - mn[:, None]) / d_safe[:, None]),
+                    0, 15).astype(np.uint8)
+        lo, hi = q[:, :16], q[:, 16:]
+        out = np.empty((nb, 20), dtype=np.uint8)
+        out[:, :2] = d.astype("<f2")[:, None].view(np.uint8)
+        out[:, 2:4] = mn.astype("<f2")[:, None].view(np.uint8)
+        out[:, 4:] = lo | (hi << 4)
+        return out.tobytes()
+    raise ValueError(f"unsupported quantization target {ttype}")
+
+
 def _type_nbytes(ttype: int, n_elements: int) -> int:
     if ttype == GGML_TYPE_F32:
         return 4 * n_elements
@@ -269,9 +313,7 @@ def write_checkpoint(
                 elif ttype == GGML_TYPE_F16:
                     f.write(np.ascontiguousarray(arr, dtype="<f2").tobytes())
                 else:
-                    raise ValueError(
-                        "writer supports f32/f16 tensors; quantized writing "
-                        "lives in cli/quantize.py")
+                    f.write(quantize_blocks(ttype, arr))
 
 
 def write_stub_checkpoint(path: str, config: WhisperConfig,

@@ -127,6 +127,8 @@ def encoder_forward(params: Params, config: WhisperConfig,
 
     blocks = enc["blocks"]
 
+    from ..ops.attention import flash_attention
+
     def block(x, layer):
         ln0, attn, ln1, mlp = (layer["attn_ln"], layer["attn"],
                                layer["mlp_ln"], layer["mlp"])
@@ -134,7 +136,8 @@ def encoder_forward(params: Params, config: WhisperConfig,
         q = _heads(_proj(h, attn["wq"], attn["bq"]), n_head)
         k = _heads(_proj(h, attn["wk"]), n_head)
         v = _heads(_proj(h, attn["wv"], attn["bv"]), n_head)
-        o = _merge_heads(mha(q, k, v)).astype(cdtype)
+        # dense self-attention via the Pallas flash kernel (einsum on CPU)
+        o = _merge_heads(flash_attention(q, k, v)).astype(cdtype)
         x = x + _proj(o, attn["wo"], attn["bo"], out_dtype=cdtype)
 
         h = layer_norm(x, ln1["g"], ln1["b"]).astype(cdtype)
@@ -277,15 +280,17 @@ def causal_prompt_mask(config: WhisperConfig, n_prompt: jax.Array,
 
     Token t (absolute position t) attends to cache positions <= t and only
     within [0, n_prompt).  Padding rows (t >= n_prompt) are fully masked to
-    position 0 to stay numerically finite.
+    position 0 to stay numerically finite.  ``n_prompt`` may be a scalar or
+    per-batch (B,) — per-stream batching uses row-specific prompt lengths.
     """
     ctx = config.n_text_ctx
-    q_pos = jnp.arange(T)[:, None]
-    k_pos = jnp.arange(ctx)[None, :]
-    ok = (k_pos <= q_pos) & (k_pos < n_prompt)
+    q_pos = jnp.arange(T)[None, :, None]
+    k_pos = jnp.arange(ctx)[None, None, :]
+    npb = jnp.asarray(n_prompt).reshape(-1, 1, 1)  # (1,) or (B,)
+    ok = (k_pos <= q_pos) & (k_pos < npb)
     ok = ok | (k_pos == 0)
-    mask = jnp.where(ok, 0.0, _NEG_INF).astype(jnp.float32)
-    return jnp.broadcast_to(mask[None, None], (batch, 1, T, ctx))
+    mask = jnp.where(ok, 0.0, _NEG_INF).astype(jnp.float32)  # (b?,T,ctx)
+    return jnp.broadcast_to(mask[:, None], (batch, 1, T, ctx))
 
 
 def step_mask(config: WhisperConfig, n_past: jax.Array,

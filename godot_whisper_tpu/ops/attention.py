@@ -1,0 +1,155 @@
+"""Pallas flash-attention kernel for the encoder (TPU).
+
+Replaces the materialize-scores attention of the reference
+(/root/reference/thirdparty/whisper.cpp/whisper.cpp:1880-1911 — permute,
+mul_mat, softmax, mul_mat; the ggml flash-attn variant at :1854-1878 is
+compile-time disabled) with a blockwise online-softmax kernel: scores never
+leave VMEM, HBM traffic drops from O(T^2) to O(T*D) per head.
+
+Shapes: encoder self-attention is (B*H, T, Dh) with T = n_audio_ctx
+(1500, padded here to a 512-multiple with masked tail) and Dh = 64.
+Decoder-side attention keeps the einsum path — its 448-token ctx is
+latency- not bandwidth-bound and lives inside the decode jit.
+
+The public entry ``flash_attention(q, k, v)`` pads/masks as needed and
+falls back to the einsum path off-TPU (CPU tests) or via
+``GWT_DISABLE_PALLAS=1``.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+try:  # pallas import guarded for minimal CPU environments
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_NEG_INF = -1e30
+
+# Block sizes: q rows per program, k columns per inner step.
+_BLOCK_Q = 256
+_BLOCK_K = 512
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_pad: int,
+                  t_valid: int):
+    """One (batch*head, q-block) program: stream K/V blocks with online
+    softmax, masking the padded key tail."""
+    q = q_ref[0].astype(jnp.float32) * scale        # (BQ, D)
+    bq, d = q.shape
+
+    n_k_blocks = t_pad // _BLOCK_K
+
+    def body(i, carry):
+        acc, m_i, l_i = carry
+        k = k_ref[0, pl.ds(i * _BLOCK_K, _BLOCK_K), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * _BLOCK_K, _BLOCK_K), :].astype(jnp.float32)
+        s = lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (BQ, BK)
+        col = (i * _BLOCK_K
+               + lax.broadcasted_iota(jnp.int32, (bq, _BLOCK_K), 1))
+        s = jnp.where(col < t_valid, s, _NEG_INF)
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        correction = jnp.exp(m_i - m_new)
+        l_new = l_i * correction + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * correction + lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc = jnp.zeros((bq, d), jnp.float32)
+    m_i = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l_i = jnp.zeros((bq, 1), jnp.float32)
+    acc, m_i, l_i = lax.fori_loop(0, n_k_blocks, body, (acc, m_i, l_i))
+
+    o_ref[0] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "t_valid"))
+def _flash_bhtd(q: jax.Array, k: jax.Array, v: jax.Array,
+                scale: float, t_valid: int) -> jax.Array:
+    """(BH, T_pad, D) flash attention with key masking beyond t_valid."""
+    bh, t, d = q.shape
+    grid = (bh, t // _BLOCK_Q)
+
+    kernel = functools.partial(_flash_kernel, scale=scale, t_pad=t,
+                               t_valid=t_valid)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _BLOCK_Q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _BLOCK_Q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * t * t * d,
+            bytes_accessed=bh * t * d * 3 * 2 + bh * t * d * 2,
+            transcendentals=bh * t * t),
+        interpret=os.environ.get("GWT_PALLAS_INTERPRET") == "1",
+    )(q, k, v)
+
+
+def _einsum_attention(q, k, v, scale):
+    s = jnp.einsum("bqd,bkd->bqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def use_pallas() -> bool:
+    if os.environ.get("GWT_PALLAS_INTERPRET") == "1":
+        return _HAS_PALLAS  # interpreter mode for CPU kernel tests
+    return (_HAS_PALLAS and _on_tpu()
+            and os.environ.get("GWT_DISABLE_PALLAS") != "1")
+
+
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Dense MHA over (B, T, H, Dh) tensors; returns the same shape.
+
+    Pads T up to a 512-multiple for the TPU kernel (masked tail); einsum
+    fallback elsewhere.
+    """
+    b, t, h, d = q.shape
+    scale = float(1.0 / (d ** 0.5))
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, -1, d)
+
+    def from_bh(x, tt):
+        return x.reshape(b, h, tt, d).transpose(0, 2, 1, 3)
+
+    if not use_pallas():
+        return from_bh(_einsum_attention(to_bh(q), to_bh(k), to_bh(v),
+                                         scale), t)
+
+    t_pad = -(-t // _BLOCK_K) * _BLOCK_K
+    pad = [(0, 0), (0, t_pad - t), (0, 0), (0, 0)]
+    qp, kp, vp = (jnp.pad(x, pad) for x in (q, k, v))
+    out = _flash_bhtd(to_bh(qp), to_bh(kp), to_bh(vp), scale, t)
+    return from_bh(out, t_pad)[:, :t]

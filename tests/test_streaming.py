@@ -1,0 +1,91 @@
+"""Streaming scheduler tests (mirrors CaptureStreamToText semantics)."""
+
+import numpy as np
+import pytest
+
+import godot_whisper_tpu as gwt
+from godot_whisper_tpu.runtime.streaming import (StreamingConfig,
+                                                 StreamingTranscriber,
+                                                 has_terminating_characters,
+                                                 remove_special_characters)
+
+
+def test_remove_special_characters():
+    # audio_stream_to_text.gd:66-81 semantics
+    assert remove_special_characters("hello [noise] world") == "hello  world"
+    assert remove_special_characters("a <tag> b") == "a  b"
+    assert remove_special_characters("la ♪music♪ la") == "la  la"
+    # the reference's substr(end+1) eats the char AFTER the match too
+    # (audio_stream_to_text.gd:79): "so. you. done" -> "sodone"
+    assert remove_special_characters("so. you. done") == "sodone"
+
+
+def test_has_terminating_characters():
+    assert has_terminating_characters("Hello.", ".!?;。；？！")
+    assert not has_terminating_characters("Hello", ".!?;。；？！")
+
+
+@pytest.fixture(scope="module")
+def nano_ctx():
+    import jax.numpy as jnp
+    from godot_whisper_tpu.audio.mel import mel_filterbank
+    from godot_whisper_tpu.audio.tokenizer import Tokenizer, synthetic_vocab
+    from godot_whisper_tpu.decode.loop import WhisperPipeline
+    from godot_whisper_tpu.models.params import init_params
+
+    cfg = gwt.get_config("tiny.en").replace(
+        n_audio_layer=2, n_text_layer=2, n_audio_state=128, n_audio_head=4,
+        n_text_state=128, n_text_head=4, name="nano")
+    params = init_params(cfg, seed=0, compute_dtype=jnp.float32)
+    tokenizer = Tokenizer(cfg, synthetic_vocab(cfg))
+    pipe = WhisperPipeline(cfg, params, tokenizer, mel_filterbank(80),
+                           n_loaded=1)
+    return gwt.WhisperContext(pipe)
+
+
+def test_streaming_loop(nano_ctx, rng):
+    events = []
+    st = StreamingTranscriber(
+        nano_ctx,
+        StreamingConfig(use_dynamic_audio_context=True,
+                        minimum_sentence_time=1.0),
+        on_transcription=lambda partial, text: events.append((partial, text)),
+        source_rate=16000)
+
+    # feed 4 s of "speech" (noise) in 0.5 s chunks and process
+    for _ in range(8):
+        st.push_audio((0.2 * rng.standard_normal(8000)).astype(np.float32))
+    report = st.process_once()
+    assert report is not None
+    assert report["no_activity"] is False  # noisy buffer: VAD says continue
+    # dynamic audio_ctx formula: total_time*1500/30 + 128 (gd:84)
+    assert report["audio_ctx"] == int(4.0 * 1500 / 30 + 128)
+    assert len(events) == 1
+
+
+def test_streaming_empty_buffer(nano_ctx):
+    st = StreamingTranscriber(nano_ctx, StreamingConfig())
+    assert st.process_once() is None
+
+
+def test_streaming_resamples_other_rates(nano_ctx, rng):
+    st = StreamingTranscriber(nano_ctx, StreamingConfig(
+        minimum_sentence_time=0.5), source_rate=48000)
+    st.push_audio((0.2 * rng.standard_normal(48000 * 2)).astype(np.float32))
+    report = st.process_once()
+    assert report is not None
+    # 2 s at 48 kHz -> 2 s at 16 kHz
+    assert report["audio_ctx"] == int(2.0 * 1500 / 30 + 128)
+
+
+def test_streaming_finalize_trims_buffer(nano_ctx):
+    """Near-silence makes VAD fire no_activity; a quiet-but-voiced buffer
+    with punctuation finalizes and keeps 0.2 s (gd:111-113)."""
+    cfg = StreamingConfig(minimum_sentence_time=0.0,
+                          maximum_sentence_time=1.5)
+    st = StreamingTranscriber(nano_ctx, cfg)
+    st.push_audio(np.full(2 * 16000, 0.1, dtype=np.float32))
+    report = st.process_once()
+    assert report is not None
+    if not report["partial"]:
+        assert len(st._buffer) <= int(0.2 * 16000) + 1
