@@ -175,7 +175,7 @@ def _pad_filters(filters: np.ndarray) -> np.ndarray:
 
 
 @jax.jit
-def _log_mel_frames(padded: jax.Array, basis: jax.Array,
+def _log_mel_frames(padded_f16: jax.Array, basis: jax.Array,
                     filters_t: jax.Array) -> jax.Array:
     """Jitted core: padded samples -> normalized log-mel (n_mels, n_frames).
 
@@ -185,6 +185,9 @@ def _log_mel_frames(padded: jax.Array, basis: jax.Array,
     against the windowed DFT basis, power, mel projection, log10, global
     max-8 clamp, (x+4)/4 (whisper.cpp:2855-2871).
     """
+    # audio crosses host->device as float16 (PCM has 16-bit precision
+    # anyway; halves the transfer) and is upcast here
+    padded = padded_f16.astype(jnp.float32)
     rows = padded.reshape(-1, _SUB)                    # (M, 80)
     n_frames = (padded.shape[0] - N_FFT) // HOP_LENGTH + 1
     cols = [lax.slice(rows, (j, 0), (j + 2 * (n_frames - 1) + 1, _SUB),
@@ -201,6 +204,33 @@ def _log_mel_frames(padded: jax.Array, basis: jax.Array,
     mmax = jnp.max(mel) - 8.0
     mel = jnp.maximum(mel, mmax)
     return ((mel + 4.0) / 4.0).T  # (n_mels, n_frames)
+
+
+@jax.jit
+def _log_mel_frames_batched(padded_f16: jax.Array, basis: jax.Array,
+                            filters_t: jax.Array) -> jax.Array:
+    """Batched mel over (B, L) padded audio -> (B, n_mels, n_frames).
+
+    Same math as _log_mel_frames; the max-8 clamp is PER CLIP, matching a
+    per-utterance reference run."""
+    padded = padded_f16.astype(jnp.float32)
+    B, L = padded.shape
+    rows = padded.reshape(B, -1, _SUB)
+    n_frames = (L - N_FFT) // HOP_LENGTH + 1
+    cols = [lax.slice(rows, (0, j, 0),
+                      (B, j + 2 * (n_frames - 1) + 1, _SUB), (1, 2, 1))
+            for j in range(N_FFT // _SUB)]
+    frames = jnp.concatenate(cols, axis=2)             # (B, n_frames, 400)
+    spec = jnp.einsum("bfw,wk->bfk", frames, basis,
+                      preferred_element_type=jnp.float32)
+    re, im = spec[..., :_BINS_PADDED], spec[..., _BINS_PADDED:]
+    power = re * re + im * im
+    mel = jnp.einsum("bfk,km->bfm", power, filters_t,
+                     preferred_element_type=jnp.float32)
+    mel = jnp.log10(jnp.maximum(mel, 1e-10))
+    mmax = jnp.max(mel, axis=(1, 2), keepdims=True) - 8.0
+    mel = jnp.maximum(mel, mmax)
+    return ((mel + 4.0) / 4.0).transpose(0, 2, 1)      # (B, n_mels, F)
 
 
 class MelFrontend:
@@ -224,9 +254,28 @@ class MelFrontend:
         # Bucket the padded length to 30 s multiples to bound jit cache size.
         bucket = -(-len(padded) // _CHUNK) * _CHUNK
         padded = np.pad(padded, (0, bucket - len(padded)))
-        mel = _log_mel_frames(jnp.asarray(padded), _windowed_dft_basis(),
-                              self._filters_t)
+        mel = _log_mel_frames(jnp.asarray(padded.astype(np.float16)),
+                              _windowed_dft_basis(), self._filters_t)
         return mel, min(n_len, mel.shape[1])
+
+    def device_batch(self, clips):
+        """Batched device mel for a list of clips.
+
+        Returns (jnp (B, n_mels, frames_bucket), [n_len per clip]).  All
+        clips are padded into the bucket of the LONGEST clip — use for
+        similarly-sized utterances (the batch transcriber's case).
+        """
+        n_lens = [frame_counts(len(c))[0] for c in clips]
+        padded = [pad_audio(c) for c in clips]
+        bucket = max(-(-len(p) // _CHUNK) * _CHUNK for p in padded)
+        stack = np.zeros((len(clips), bucket), dtype=np.float16)
+        for i, p in enumerate(padded):
+            stack[i, :len(p)] = p.astype(np.float16)
+        mel = _log_mel_frames_batched(jnp.asarray(stack),
+                                      _windowed_dft_basis(),
+                                      self._filters_t)
+        n_lens = [min(n, mel.shape[2]) for n in n_lens]
+        return mel, n_lens
 
     def __call__(self, samples: np.ndarray) -> np.ndarray:
         """Whole-utterance mel, shape (n_mels, n_len). Host in, host out."""

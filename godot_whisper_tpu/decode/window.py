@@ -43,6 +43,8 @@ from ..models.config import WhisperConfig
 from ..models.model import (CrossKV, KVCache, causal_prompt_mask,
                             decoder_forward, init_kv_cache, reorder_kv_cache,
                             step_mask)
+from ..ops.attention import use_pallas
+from ..ops.filter_sample import fused_filter_sample
 from .filters import FilterContext, process_logits, timestamp_stats
 
 SEEK_DELTA_FULL = 3000  # 100 * WHISPER_CHUNK_SIZE (whisper.cpp:5222)
@@ -105,6 +107,10 @@ class WindowStatics:
     # throughput mode the reference cannot express (its parallelism is one
     # host thread per chunk, whisper.cpp:5817-5930).  Greedy only.
     per_stream: bool = False
+    # fused: greedy path runs the ops/filter_sample.py Pallas kernel —
+    # the whole filter+sample stage as ONE program instead of ~35 VPU
+    # kernels per step.  TPU-only; beam/CPU keep the jnp stack.
+    fused: bool = False
 
 
 def _sample_greedy(st: LoopState, statics: WindowStatics, fctx: FilterContext):
@@ -271,16 +277,51 @@ class WindowDecoder:
             seek = jnp.broadcast_to(jnp.asarray(seek), (B,))
             seek_end = jnp.broadcast_to(jnp.asarray(seek_end), (B,))
 
+            def sample_fused(st: LoopState):
+                """Fused Pallas filter+sample over the raw logits carried
+                in st.probs (greedy/temperature modes)."""
+                i = st.i
+                rows = jnp.arange(B)
+                last = jnp.where(i > 0, st.tokens[rows, jnp.maximum(i - 1, 0)],
+                                 -1)
+                penult = jnp.where(i > 1,
+                                   st.tokens[rows, jnp.maximum(i - 2, 0)], -1)
+                seeds = (jnp.int32(1000003) * i
+                         + jnp.arange(B, dtype=jnp.int32) * 7919)
+                out = fused_filter_sample(
+                    st.probs, suppress_mask,
+                    is_initial=jnp.full((B,), i == 0),
+                    last_token=last, penult_token=penult,
+                    n_tokens=jnp.full((B,), i, jnp.int32),
+                    has_ts=st.has_ts, seek_delta=st.seek_delta,
+                    temperature=temperature, seeds=seeds,
+                    eot=fctx.token_eot, beg=fctx.token_beg,
+                    space_id=fctx.space_id,
+                    max_initial_tid=fctx.max_initial_tid,
+                    suppress_blank=statics.suppress_blank,
+                    no_timestamps=statics.no_timestamps,
+                    argmax_sample=statics.greedy_argmax)
+                new_sum = st.sum_logprobs_all + jnp.where(
+                    st.completed | st.failed, 0.0, out.plog)
+                return (rows, out.token, out.p, out.plog, out.pt, out.ptsum,
+                        out.tid, new_sum, st, st.rng)
+
             zero_b = jnp.zeros((B,), jnp.int32)
-            st_like = {"temp": temperature,
-                       "has_ts": jnp.zeros((B,), bool),
-                       "seek_delta": jnp.full((B,), SEEK_DELTA_FULL,
-                                              jnp.int32)}
-            _, logprobs0, probs0 = proc(
-                last_logits, st_like,
-                is_initial=jnp.ones((B,), bool),
-                n_tokens=zero_b, last=zero_b - 1, penult=zero_b - 1,
-                fctx=tfctx)
+            if statics.fused:
+                # raw logits carried; filtering happens inside the fused
+                # sample kernel at the top of each iteration
+                probs0 = last_logits.astype(jnp.float32)
+                logprobs0 = jnp.zeros((B, 1), jnp.float32)
+            else:
+                st_like = {"temp": temperature,
+                           "has_ts": jnp.zeros((B,), bool),
+                           "seek_delta": jnp.full((B,), SEEK_DELTA_FULL,
+                                                  jnp.int32)}
+                _, logprobs0, probs0 = proc(
+                    last_logits, st_like,
+                    is_initial=jnp.ones((B,), bool),
+                    n_tokens=zero_b, last=zero_b - 1, penult=zero_b - 1,
+                    fctx=tfctx)
 
             st = LoopState(
                 i=jnp.int32(0),
@@ -311,6 +352,9 @@ class WindowDecoder:
                 if statics.strategy == "beam":
                     (src, ids, p, plog, pt, ptsum, tid, new_sum, st,
                      rng) = _sample_beam(st, statics, fctx)
+                elif statics.fused:
+                    (src, ids, p, plog, pt, ptsum, tid, new_sum, st,
+                     rng) = sample_fused(st)
                 else:
                     (src, ids, p, plog, pt, ptsum, tid, new_sum, st,
                      rng) = _sample_greedy(st, statics, fctx)
@@ -392,6 +436,9 @@ class WindowDecoder:
                     logits, kv = decoder_forward(
                         params, config, tokens[:, i][:, None], pos,
                         st.kv, xkv_b, smask)
+                    if statics.fused:
+                        return st._replace(
+                            kv=kv, probs=logits[:, 0].astype(jnp.float32))
                     penult = jnp.where(i >= 1, tokens[rows, jnp.maximum(
                         i - 1, 0)], -1)
                     st_like = {"temp": temperature, "has_ts": st.has_ts,
@@ -447,7 +494,8 @@ class WindowDecoder:
             greedy_argmax=(strategy == "greedy" and temperature < 1e-6),
             suppress_blank=suppress_blank, no_timestamps=no_timestamps,
             single_segment=single_segment, max_tokens=max_tokens,
-            test_mode=test_mode)
+            test_mode=test_mode,
+            fused=(strategy == "greedy" and use_pallas()))
 
         fn = self._cache.get(statics)
         if fn is None:
@@ -505,7 +553,8 @@ class WindowDecoder:
             greedy_argmax=(temperature < 1e-6),
             suppress_blank=suppress_blank, no_timestamps=no_timestamps,
             single_segment=single_segment, max_tokens=max_tokens,
-            test_mode=test_mode, per_stream=True)
+            test_mode=test_mode, per_stream=True,
+            fused=use_pallas())
 
         fn = self._cache.get(statics)
         if fn is None:
@@ -527,17 +576,17 @@ class WindowDecoder:
         return self._to_result(st)
 
     def _to_result(self, st: LoopState) -> WindowResult:
+        # ONE batched device->host transfer for the whole result set — a
+        # dozen separate np.asarray() pulls each pay a full RPC round trip
+        # on tunneled runtimes.
+        (i, tokens, tok_p, tok_plog, tok_pt, tok_ptsum, tok_tid, completed,
+         failed, has_ts, seek_delta, result_len, sum_lp) = jax.device_get(
+            (st.i, st.tokens, st.tok_p, st.tok_plog, st.tok_pt,
+             st.tok_ptsum, st.tok_tid, st.completed, st.failed, st.has_ts,
+             st.seek_delta, st.result_len, st.sum_logprobs_all))
         return WindowResult(
-            tokens=np.asarray(st.tokens),
-            tok_p=np.asarray(st.tok_p),
-            tok_plog=np.asarray(st.tok_plog),
-            tok_pt=np.asarray(st.tok_pt),
-            tok_ptsum=np.asarray(st.tok_ptsum),
-            tok_tid=np.asarray(st.tok_tid),
-            completed=np.asarray(st.completed),
-            failed=np.asarray(st.failed),
-            has_ts=np.asarray(st.has_ts),
-            seek_delta=np.asarray(st.seek_delta),
-            result_len=np.asarray(st.result_len),
-            sum_logprobs_all=np.asarray(st.sum_logprobs_all),
-            n_steps=int(st.i))
+            tokens=tokens, tok_p=tok_p, tok_plog=tok_plog, tok_pt=tok_pt,
+            tok_ptsum=tok_ptsum, tok_tid=tok_tid, completed=completed,
+            failed=failed, has_ts=has_ts, seek_delta=seek_delta,
+            result_len=result_len, sum_logprobs_all=sum_lp,
+            n_steps=int(i))

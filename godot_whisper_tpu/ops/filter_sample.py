@@ -1,0 +1,208 @@
+"""Fused logit-filter + sampler Pallas kernel.
+
+The reference runs its logit filters per decoder on the HOST between every
+token (whisper_process_logits, whisper.cpp:4489-4775) — the main latency
+sin of its decode loop.  Our jnp filter stack (decode/filters.py) already
+runs on-device, but as ~35 separate VPU kernels over the (B, 51864) logit
+row per step.  This kernel fuses the WHOLE stage — suppression rules,
+masked log-softmax, the timestamp-vs-text rule, greedy/Gumbel sampling and
+timestamp statistics — into ONE Pallas program per beam, with the logits
+row resident in VMEM (51968 f32 = 208 KB) the entire time.
+
+Semantics identical to decode/filters.process_logits +
+window._sample_greedy; the CPU/beam paths keep the jnp implementation
+(cross-checked by tests/test_filter_sample.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+_NEG = -1e30  # plain python float: jnp scalars become captured consts in pallas
+
+
+class SampleOut(NamedTuple):
+    token: jax.Array   # (B,) i32
+    p: jax.Array       # (B,) f32
+    plog: jax.Array    # (B,) f32
+    pt: jax.Array      # (B,) f32
+    ptsum: jax.Array   # (B,) f32
+    tid: jax.Array     # (B,) i32
+
+
+def _kernel(state_ref, seed_ref, temp_ref, logits_ref, suppress_ref,
+            tok_ref, p_ref, plog_ref, pt_ref, ptsum_ref, tid_ref,
+            *, V: int, Vpad: int, eot: int, beg: int, space_id: int,
+            max_initial_tid: int, suppress_blank: bool,
+            no_timestamps: bool, argmax_sample: bool):
+    b = pl.program_id(0)
+    # per-beam scalars: [is_initial, last, penult, n_tokens, has_ts,
+    #                    seek_delta]
+    is_initial = state_ref[b, 0] != 0
+    last = state_ref[b, 1]
+    penult = state_ref[b, 2]
+    n_tokens = state_ref[b, 3]
+    has_ts = state_ref[b, 4] != 0
+    seek_delta = state_ref[b, 5]
+    temp = temp_ref[b, 0]
+
+    l = logits_ref[0].astype(jnp.float32)  # (1, Vpad)
+    l = jnp.where(temp > 0, l / jnp.maximum(temp, 1e-8), l)
+    ids = lax.broadcasted_iota(jnp.int32, (1, Vpad), 1)
+
+    sup = suppress_ref[0] != 0  # (1, Vpad)
+    sup = sup | (ids >= V)
+    if suppress_blank:
+        sup = sup | (is_initial & ((ids == eot) | (ids == space_id)))
+    if no_timestamps:
+        sup = sup | (ids >= beg)
+
+    last_was_ts = (n_tokens > 0) & (last >= beg)
+    penult_was_ts = (n_tokens < 2) | (penult >= beg)
+    sup = sup | (last_was_ts & penult_was_ts & (ids >= beg))
+    sup = sup | (last_was_ts & (~penult_was_ts) & (ids < eot))
+    sup = sup | (is_initial & (ids > beg + max_initial_tid))
+    sup = sup | (has_ts & (ids >= beg) & (ids < beg + seek_delta // 2))
+
+    l = jnp.where(sup, _NEG, l)
+
+    # masked log-softmax
+    m = jnp.max(l)
+    se = jnp.sum(jnp.where(sup, 0.0, jnp.exp(l - m)))
+    lse = jnp.log(se) + m
+    lp = jnp.where(sup, _NEG, l - lse)
+
+    # timestamp-sum-vs-best-text rule
+    ts = ids >= beg
+    ts_m = jnp.max(jnp.where(ts, lp, _NEG))
+    ts_se = jnp.sum(jnp.where(ts & (~sup), jnp.exp(lp - ts_m), 0.0))
+    ts_lp = jnp.where(ts_se > 0, jnp.log(ts_se) + ts_m, _NEG)
+    text_m = jnp.max(jnp.where(ts, _NEG, lp))
+    force_ts = ts_lp > text_m
+    lp = jnp.where(force_ts & (~ts), _NEG, lp)
+
+    probs = jnp.where(lp > _NEG * 0.5, jnp.exp(lp), 0.0)
+
+    # sample
+    if argmax_sample:
+        choice_scores = probs
+    else:
+        pltpu.prng_seed(seed_ref[b, 0])
+        bits = pltpu.prng_random_bits((1, Vpad))
+        u = (pltpu.bitcast(bits, jnp.uint32) >> 8).astype(jnp.float32) \
+            * (1.0 / (1 << 24))
+        gumbel = -jnp.log(-jnp.log(jnp.maximum(u, 1e-12)))
+        choice_scores = jnp.where(lp > _NEG * 0.5, lp + gumbel, _NEG)
+
+    tok = jnp.argmax(choice_scores).astype(jnp.int32)
+
+    # gather p/plog at tok via masked reductions (no dynamic gather)
+    sel = ids == tok
+    p_sel = jnp.sum(jnp.where(sel, probs, 0.0))
+    lp_sel = jnp.max(jnp.where(sel, lp, _NEG))
+
+    # timestamp stats (whisper.cpp:4792-4810)
+    sum_ts = jnp.sum(jnp.where(ts, probs, 0.0))
+    max_ts = jnp.max(jnp.where(ts, probs, 0.0))
+    tid = jnp.argmax(jnp.where(ts, probs, -1.0)).astype(jnp.int32)
+    pt = max_ts / (sum_ts + 1e-10)
+
+    is_ts_tok = tok >= beg
+    tid = jnp.where(is_ts_tok, tok, tid)
+    pt = jnp.where(is_ts_tok, p_sel, pt)
+
+    tok_ref[0, 0, 0] = tok
+    p_ref[0, 0, 0] = p_sel
+    plog_ref[0, 0, 0] = lp_sel
+    pt_ref[0, 0, 0] = pt
+    ptsum_ref[0, 0, 0] = sum_ts
+    tid_ref[0, 0, 0] = tid
+
+
+def fused_filter_sample(
+    logits: jax.Array,         # (B, V) f32
+    suppress_mask: jax.Array,  # (V,) bool — static suppressions
+    *,
+    is_initial: jax.Array, last_token: jax.Array, penult_token: jax.Array,
+    n_tokens: jax.Array, has_ts: jax.Array, seek_delta: jax.Array,
+    temperature: jax.Array, seeds: jax.Array,
+    eot: int, beg: int, space_id: int, max_initial_tid: int,
+    suppress_blank: bool, no_timestamps: bool, argmax_sample: bool,
+) -> SampleOut:
+    """One fused kernel call: filters + log-softmax + rules + sample."""
+    B, V = logits.shape
+    Vpad = -(-V // 512) * 512
+
+    # (B, 1, Vpad) layout: per-program block (1, 1, Vpad) keeps the last
+    # two dims equal to the array's, satisfying mosaic's tiling rule for
+    # any B
+    logits_p = jnp.pad(logits, ((0, 0), (0, Vpad - V)),
+                       constant_values=-1e30).reshape(B, 1, Vpad)
+    sup_p = jnp.pad(suppress_mask.astype(jnp.int32), (0, Vpad - V),
+                    constant_values=1)
+    sup_p = jnp.broadcast_to(sup_p[None, None], (B, 1, Vpad))
+
+    state = jnp.stack([
+        is_initial.astype(jnp.int32),
+        last_token.astype(jnp.int32),
+        penult_token.astype(jnp.int32),
+        n_tokens.astype(jnp.int32),
+        has_ts.astype(jnp.int32),
+        seek_delta.astype(jnp.int32),
+    ], axis=1)  # (B, 6)
+    seeds2 = seeds.reshape(B, 1).astype(jnp.int32)
+    temps = jnp.broadcast_to(jnp.float32(temperature), (B,)).reshape(B, 1)
+
+    kernel = functools.partial(
+        _kernel, V=V, Vpad=Vpad, eot=eot, beg=beg, space_id=space_id,
+        max_initial_tid=max_initial_tid, suppress_blank=suppress_blank,
+        no_timestamps=no_timestamps, argmax_sample=argmax_sample)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # state + seeds + temps
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, Vpad), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Vpad), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((1, 1, 1), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.SMEM)
+            for _ in range(6)),
+    )
+
+    import os
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+        ),
+        interpret=os.environ.get("GWT_PALLAS_INTERPRET") == "1",
+    )(state, seeds2, temps, logits_p, sup_p)
+
+    tok, p, plog, pt, ptsum, tid = outs
+    return SampleOut(token=tok[:, 0, 0], p=p[:, 0, 0], plog=plog[:, 0, 0],
+                     pt=pt[:, 0, 0], ptsum=ptsum[:, 0, 0],
+                     tid=tid[:, 0, 0])

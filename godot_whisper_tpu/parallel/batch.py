@@ -37,13 +37,15 @@ from ..models.model import CrossKV, cross_kv, encoder_forward
 
 @dataclasses.dataclass
 class _Stream:
-    mel: np.ndarray
+    index: int
+    n_len: int            # valid mel frames
     n_len_org: int
     seek: int
     seek_end: int
     prompt_past: List[int]
     segments: List[Segment]
     done: bool = False
+    mel_host: Optional[np.ndarray] = None  # materialized for fallback only
 
 
 class BatchTranscriber:
@@ -52,19 +54,34 @@ class BatchTranscriber:
 
     def __init__(self, ctx):
         self.ctx = ctx
-        self._encode_jit = None
+        self._encode_jit = {}
 
-    def _batched_encode(self, params, windows: jax.Array, audio_ctx: int):
-        if self._encode_jit is None:
+    def _batched_encode(self, params, mel_all: jax.Array, seeks, n_lens,
+                        audio_ctx: int):
+        """Device-side per-stream window slice + batched encode."""
+        key = (audio_ctx, mel_all.shape)
+        fn = self._encode_jit.get(key)
+        if fn is None:
             config = self.ctx.config
+            n_ctx = audio_ctx or config.n_audio_ctx
 
-            def fn(params, mel_windows):
-                enc = encoder_forward(params, config, mel_windows,
+            def fn_impl(params, mel_all, seeks, n_lens):
+                def one(mel_row, seek, n_len):
+                    win = jax.lax.dynamic_slice(
+                        mel_row, (0, seek), (config.n_mels, 2 * n_ctx))
+                    idx = seek + jnp.arange(2 * n_ctx)
+                    return jnp.where((idx < n_len)[None, :], win, 0.0).T
+
+                wins = jax.vmap(one)(mel_all, seeks, n_lens)
+                enc = encoder_forward(params, self.ctx.config, wins,
                                       audio_ctx=audio_ctx or None)
-                return cross_kv(params, config, enc)
+                return cross_kv(params, self.ctx.config, enc)
 
-            self._encode_jit = jax.jit(fn)
-        return self._encode_jit(params, windows)
+            fn = jax.jit(fn_impl)
+            self._encode_jit[key] = fn
+        return fn(params, mel_all,
+                  jnp.asarray(np.asarray(seeks, dtype=np.int32)),
+                  jnp.asarray(np.asarray(n_lens, dtype=np.int32)))
 
     def transcribe(self, clips: List[np.ndarray],
                    tparams: Optional[TranscribeParams] = None
@@ -90,15 +107,18 @@ class BatchTranscriber:
         if no_timestamps:
             prompt_init.append(config.token_not)
 
+        # batched device-resident mel for ALL clips in one call
+        mel_all, n_lens = pipe.mel.device_batch(clips)
+
         streams: List[_Stream] = []
-        for clip in clips:
-            mel = pipe.mel(clip)
+        for i, clip in enumerate(clips):
             _, n_len_org = frame_counts(len(clip))
             seek_start = tparams.offset_ms // 10
             seek_end = (n_len_org if tparams.duration_ms == 0
                         else seek_start + tparams.duration_ms // 10)
-            st = _Stream(mel=mel, n_len_org=n_len_org, seek=seek_start,
-                         seek_end=seek_end, prompt_past=[], segments=[])
+            st = _Stream(index=i, n_len=n_lens[i], n_len_org=n_len_org,
+                         seek=seek_start, seek_end=seek_end,
+                         prompt_past=[], segments=[])
             if seek_end < seek_start + 100:
                 st.done = True
             if tparams.initial_prompt:
@@ -119,14 +139,9 @@ class BatchTranscriber:
             # batched encode of every stream's current window (inactive
             # streams re-encode their last window — wasted lanes keep the
             # shape static; they are masked at emission)
-            windows = np.zeros((B, 2 * n_ctx, config.n_mels),
-                               dtype=np.float32)
-            for i, s in enumerate(streams):
-                i0 = min(s.seek, s.mel.shape[1])
-                i1 = min(s.seek + 2 * n_ctx, s.mel.shape[1])
-                windows[i, :i1 - i0] = s.mel[:, i0:i1].T
-            xkv = self._batched_encode(pipe.params, jnp.asarray(windows),
-                                       tparams.audio_ctx)
+            xkv = self._batched_encode(
+                pipe.params, mel_all, [s.seek for s in streams],
+                [s.n_len for s in streams], tparams.audio_ctx)
 
             prompts = []
             for s in streams:
@@ -162,6 +177,9 @@ class BatchTranscriber:
                 if not ok and tparams.temperature_inc > 0:
                     # quality-gate fallback: run this stream's window
                     # through the full per-stream ladder
+                    if s.mel_host is None:
+                        s.mel_host = np.asarray(
+                            mel_all[s.index])[:, :s.n_len]
                     self._fallback_window(s, prompts[i], prompt_init,
                                           tparams, no_timestamps)
                     continue
@@ -191,7 +209,7 @@ class BatchTranscriber:
         saved_past = pipe._prompt_past
         try:
             pipe.segments = s.segments
-            pipe.set_mel(s.mel, s.n_len_org)
+            pipe.set_mel(s.mel_host, s.n_len_org)
             pipe._prompt_past = list(s.prompt_past)
             p = dataclasses.replace(
                 tparams, offset_ms=s.seek * 10,

@@ -1,0 +1,105 @@
+"""API-surface tests: SpeechToText facade, logging, settings, outputs."""
+
+import numpy as np
+import pytest
+
+import godot_whisper_tpu as gwt
+from godot_whisper_tpu.cli import outputs
+from godot_whisper_tpu.decode.loop import Segment, TokenData
+from godot_whisper_tpu.runtime import logging as gwt_logging
+from godot_whisper_tpu.runtime.settings import (all_settings, get_setting,
+                                                reset_settings, set_setting)
+from godot_whisper_tpu.runtime.speech_to_text import SpeechToText
+
+
+@pytest.fixture(scope="module")
+def nano_ctx():
+    import jax.numpy as jnp
+    from godot_whisper_tpu.audio.mel import mel_filterbank
+    from godot_whisper_tpu.audio.tokenizer import Tokenizer, synthetic_vocab
+    from godot_whisper_tpu.decode.loop import WhisperPipeline
+    from godot_whisper_tpu.models.params import init_params
+
+    cfg = gwt.get_config("tiny.en").replace(
+        n_audio_layer=1, n_text_layer=1, n_audio_state=64, n_audio_head=2,
+        n_text_state=64, n_text_head=2, name="pico")
+    params = init_params(cfg, seed=0, compute_dtype=jnp.float32)
+    tokenizer = Tokenizer(cfg, synthetic_vocab(cfg))
+    pipe = WhisperPipeline(cfg, params, tokenizer, mel_filterbank(80),
+                           n_loaded=1)
+    return gwt.WhisperContext(pipe)
+
+
+def test_speech_to_text_facade(nano_ctx, rng):
+    stt = SpeechToText(mix_rate=44100)
+    stt.set_language("en")
+    stt.set_language_model(nano_ctx)
+    assert stt.get_language_model() is nano_ctx
+
+    stereo = rng.standard_normal((44100, 2)).astype(np.float32) * 0.2
+    mono16k = stt.resample(stereo)
+    assert abs(len(mono16k) - 16000) <= 2
+
+    assert stt.voice_activity_detection(mono16k) in (True, False)
+
+    result = stt.transcribe(
+        np.concatenate([mono16k, mono16k, mono16k]), "", 0)
+    assert isinstance(result[0], str)
+    for d in result[1:]:
+        assert set(d) == {"text", "id", "p", "plog", "pt", "ptsum", "t0",
+                          "t1", "tid", "vlen"}
+
+
+def test_logging_callback():
+    events = []
+    gwt_logging.log_set(lambda lvl, text: events.append((lvl, text)))
+    try:
+        gwt_logging.log_info("hello %d", 42)
+        gwt_logging.log_error("bad")
+    finally:
+        gwt_logging.log_set(None)
+    assert events[0][0] == gwt_logging.LogLevel.INFO
+    assert "hello 42" in events[0][1]
+    assert events[1][0] == gwt_logging.LogLevel.ERROR
+
+
+def test_system_info():
+    s = gwt_logging.system_info()
+    assert "jax" in s and "platform" in s
+
+
+def test_settings_roundtrip(monkeypatch):
+    reset_settings()
+    assert get_setting("audio.input.transcribe.max_tokens") == 16
+    set_setting("audio.input.transcribe.max_tokens", 32)
+    assert get_setting("audio.input.transcribe.max_tokens") == 32
+    monkeypatch.setenv("GWT_AUDIO_INPUT_TRANSCRIBE_MAX_TOKENS", "8")
+    assert get_setting("audio.input.transcribe.max_tokens") == 8
+    reset_settings()
+    assert "audio.input.transcribe.vad_threshold" in all_settings()
+
+
+def test_output_formats():
+    segs = [
+        Segment(t0=0, t1=150, text=" Hello world.", tokens=[
+            TokenData(id=1, tid=50363, p=0.9, plog=-0.1, pt=0.5,
+                      ptsum=0.9, t0=0, t1=150)]),
+        Segment(t0=150, t1=420, text=" Second segment.", tokens=[]),
+    ]
+    txt = outputs.to_txt(segs)
+    assert "Hello world." in txt
+    srt = outputs.to_srt(segs)
+    assert "00:00:01,500 --> 00:00:04,200" in srt
+    vtt = outputs.to_vtt(segs)
+    assert vtt.startswith("WEBVTT")
+    assert "00:00:00.000 --> 00:00:01.500" in vtt
+    csv = outputs.to_csv(segs)
+    assert csv.splitlines()[0] == "start,end,text"
+    assert '1500,4200,"Second segment."' in csv
+    lrc = outputs.to_lrc(segs)
+    assert "[00:01.50]" in lrc
+    import json
+    data = json.loads(outputs.to_json(segs, model_name="tiny.en",
+                                      language="en", full=True))
+    assert data["transcription"][0]["offsets"] == {"from": 0, "to": 1500}
+    assert data["transcription"][0]["tokens"][0]["id"] == 1
