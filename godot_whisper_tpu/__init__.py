@@ -190,6 +190,30 @@ class WhisperContext:
         """(lang_id, probs) over the language set (whisper_lang_auto_detect)."""
         return self._p.detect_language(seek)
 
+    def decode(self, tokens: Sequence[int], n_past: int = 0,
+               seek: int = 0) -> np.ndarray:
+        """Stage-level decode (whisper_decode, whisper.h:286-297): run the
+        decoder over ``tokens`` against the encoder output at ``seek`` and
+        return the logits of the last token.  Requires audio/mel set."""
+        import jax.numpy as jnp
+        from .models.model import (causal_prompt_mask, decoder_forward,
+                                   init_kv_cache)
+
+        _, xkv = self._p.encode_window(seek)
+        config = self._p.config
+        toks = list(tokens)
+        T = len(toks)
+        kv = init_kv_cache(config, 1,
+                           dtype=self._p.params["decoder"][
+                               "token_embed"].dtype)
+        arr = jnp.asarray([toks], dtype=jnp.int32)
+        positions = jnp.broadcast_to(
+            jnp.arange(n_past, n_past + T, dtype=jnp.int32), (1, T))
+        mask = causal_prompt_mask(config, jnp.int32(n_past + T), T, 1)
+        logits, _ = decoder_forward(self._p.params, config, arr, positions,
+                                    kv, xkv, mask)
+        return np.asarray(logits[0, -1])
+
     # ---------------------------------------------------------------- tokenize
     def tokenize(self, text: str) -> List[int]:
         return self._p.tokenizer.encode(text)

@@ -12,8 +12,10 @@ whisper.cpp:5817-5930).  Here:
   sharded on the output feature axis, out-proj / down-projection sharded on
   the input axis so each block needs one reduce per sub-layer — XLA GSPMD
   inserts the psum over ICI;
-- the vocabulary axis of the token embedding is sharded over ``tp``: logits
-  come out vocab-sharded and argmax/top-k reductions run distributed.
+- the token embedding shards on the FEATURE axis (the vocab sizes 51864/
+  51865/51866 do not divide power-of-two tp): the logits contraction
+  reduces over the sharded feature dim, so XLA emits one psum and logits
+  come out replicated for the samplers.
 
 All of this is annotation-only: the model code in models/model.py stays
 unchanged, GSPMD does the partitioning.
@@ -82,7 +84,7 @@ def param_pspecs(config: WhisperConfig) -> Dict[str, Any]:
         },
         "decoder": {
             "pos_embed": P(None, None),
-            "token_embed": P("tp", None),
+            "token_embed": P(None, "tp"),
             "ln": {"g": P(None), "b": P(None)},
             "blocks": dec_blocks,
         },
