@@ -1,0 +1,129 @@
+"""CLI tool tests: transcribe outputs, quantize round-trip, server
+endpoints, download URL construction."""
+
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import godot_whisper_tpu as gwt
+
+
+@pytest.fixture(scope="module")
+def pico_bin(tmp_path_factory):
+    """A tiny real-weight ggml checkpoint on disk (via the exporter)."""
+    import jax.numpy as jnp
+    from godot_whisper_tpu.audio.mel import mel_filterbank
+    from godot_whisper_tpu.audio.tokenizer import synthetic_vocab
+    from godot_whisper_tpu.models import loader_ggml
+    from godot_whisper_tpu.models.export_ggml import export_checkpoint
+    from godot_whisper_tpu.models.params import init_params
+
+    cfg = gwt.get_config("tiny.en").replace(
+        n_audio_layer=1, n_text_layer=1, n_audio_state=64, n_audio_head=2,
+        n_text_state=64, n_text_head=2, name="pico")
+    params = init_params(cfg, seed=0, compute_dtype=jnp.float32)
+    path = str(tmp_path_factory.mktemp("models") / "pico.bin")
+    export_checkpoint(path, params, cfg, mel_filterbank(80),
+                      synthetic_vocab(cfg), ttype=loader_ggml.GGML_TYPE_F32)
+    return path
+
+
+def test_cli_transcribe_outputs(pico_bin, tmp_path, rng):
+    from godot_whisper_tpu.audio.wav import write_wav
+    from godot_whisper_tpu.cli.main import main
+
+    wav = str(tmp_path / "in.wav")
+    t = np.arange(2 * 16000) / 16000.0
+    write_wav(wav, (0.3 * np.sin(2 * np.pi * 300 * t)).astype(np.float32))
+
+    rc = main(["-m", pico_bin, wav, "-otxt", "-osrt", "-oj",
+               "--temperature-inc", "0", "--best-of", "1", "--no-prints"])
+    assert rc == 0
+    assert os.path.exists(wav + ".txt")
+    assert os.path.exists(wav + ".srt")
+    data = json.loads(open(wav + ".json").read())
+    assert "transcription" in data
+
+
+def test_quantize_roundtrip(pico_bin, tmp_path):
+    from godot_whisper_tpu.cli.quantize import main as qmain
+    from godot_whisper_tpu.models.loader_ggml import read_checkpoint
+
+    out = str(tmp_path / "pico-q8.bin")
+    rc = qmain([pico_bin, out, "q8_0"])
+    assert rc == 0
+    raw_f = read_checkpoint(pico_bin)
+    raw_q = read_checkpoint(out)
+    assert raw_q.config.n_vocab == raw_f.config.n_vocab
+    w_f = raw_f.tensors["decoder.token_embedding.weight"]
+    w_q = raw_q.tensors["decoder.token_embedding.weight"]
+    # q8_0: ~0.5% scale quantization error
+    np.testing.assert_allclose(w_q, w_f, atol=np.abs(w_f).max() * 0.02)
+    # quantized file loads and transcribes
+    ctx = gwt.WhisperContext.from_file(out)
+    segs = ctx.full(gwt.TranscribeParams(best_of=1, temperature_inc=0.0),
+                    np.zeros(2 * 16000, dtype=np.float32))
+    assert isinstance(segs, list)
+
+
+def test_server_endpoints(pico_bin, tmp_path, rng):
+    from http.server import ThreadingHTTPServer
+
+    from godot_whisper_tpu.audio.wav import write_wav
+    from godot_whisper_tpu.cli.serve import (TranscriptionServer,
+                                             make_handler)
+
+    ctx = gwt.WhisperContext.from_file(pico_bin)
+    server = TranscriptionServer(ctx)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health") as r:
+            assert json.loads(r.read())["status"] == "ok"
+
+        wav = str(tmp_path / "req.wav")
+        t = np.arange(2 * 16000) / 16000.0
+        write_wav(wav, (0.3 * np.sin(2 * np.pi * 440 * t)
+                        ).astype(np.float32))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/inference?temperature=0",
+            data=open(wav, "rb").read(), method="POST")
+        with urllib.request.urlopen(req) as r:
+            data = json.loads(r.read())
+        assert "text" in data
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/inference?response_format=srt",
+            data=open(wav, "rb").read(), method="POST")
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+    finally:
+        httpd.shutdown()
+
+
+def test_download_urls():
+    from godot_whisper_tpu.cli.download import MODELS, model_url
+    assert "tiny.en" in MODELS and "large-v3" in MODELS
+    assert model_url("tiny.en") == (
+        "https://huggingface.co/ggerganov/whisper.cpp/resolve/main/"
+        "ggml-tiny.en.bin")
+
+
+@pytest.mark.parametrize("name", ["base", "small.en", "medium", "large"])
+def test_reference_stub_sizes(name):
+    from godot_whisper_tpu.models.loader_ggml import read_checkpoint
+    path = ("/root/reference/thirdparty/whisper.cpp/models/"
+            f"for-tests-ggml-{name}.bin")
+    if not os.path.exists(path):
+        pytest.skip("stub not available")
+    raw = read_checkpoint(path)
+    expect = {"base": 6, "small.en": 12, "medium": 24, "large": 32}[name]
+    assert raw.config.n_audio_layer == expect
+    assert raw.n_loaded == 0
