@@ -6,8 +6,8 @@ sin of its decode loop.  Our jnp filter stack (decode/filters.py) already
 runs on-device, but as ~35 separate VPU kernels over the (B, 51864) logit
 row per step.  This kernel fuses the WHOLE stage — suppression rules,
 masked log-softmax, the timestamp-vs-text rule, greedy/Gumbel sampling and
-timestamp statistics — into ONE Pallas program per beam, with the logits
-row resident in VMEM (51968 f32 = 208 KB) the entire time.
+timestamp statistics — into ONE Pallas program processing every beam row
+at once, logits resident in VMEM the entire time.
 
 Semantics identical to decode/filters.process_logits +
 window._sample_greedy; the CPU/beam paths keep the jnp implementation
@@ -17,6 +17,7 @@ window._sample_greedy; the CPU/beam paths keep the jnp implementation
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -32,7 +33,7 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
-_NEG = -1e30  # plain python float: jnp scalars become captured consts in pallas
+_NEG = -1e30  # plain python float: jnp scalars become captured consts
 
 
 class SampleOut(NamedTuple):
@@ -44,27 +45,30 @@ class SampleOut(NamedTuple):
     tid: jax.Array     # (B,) i32
 
 
-def _kernel(state_ref, seed_ref, temp_ref, logits_ref, suppress_ref,
+def _kernel(state_ref, temp_ref, seed_ref, logits_ref, suppress_ref,
             tok_ref, p_ref, plog_ref, pt_ref, ptsum_ref, tid_ref,
-            *, V: int, Vpad: int, eot: int, beg: int, space_id: int,
-            max_initial_tid: int, suppress_blank: bool,
+            *, B: int, V: int, Vpad: int, eot: int, beg: int,
+            space_id: int, max_initial_tid: int, suppress_blank: bool,
             no_timestamps: bool, argmax_sample: bool):
-    b = pl.program_id(0)
-    # per-beam scalars: [is_initial, last, penult, n_tokens, has_ts,
-    #                    seek_delta]
-    is_initial = state_ref[b, 0] != 0
-    last = state_ref[b, 1]
-    penult = state_ref[b, 2]
-    n_tokens = state_ref[b, 3]
-    has_ts = state_ref[b, 4] != 0
-    seek_delta = state_ref[b, 5]
-    temp = temp_ref[b, 0]
+    # per-beam scalar state, broadcast to columns:
+    # state cols: [is_initial, last, penult, n_tokens, has_ts, seek_delta]
+    def col(j):
+        return jnp.stack([state_ref[b, j] for b in range(B)]
+                         ).reshape(B, 1)
 
-    l = logits_ref[0].astype(jnp.float32)  # (1, Vpad)
+    is_initial = col(0) != 0
+    last = col(1)
+    penult = col(2)
+    n_tokens = col(3)
+    has_ts = col(4) != 0
+    seek_delta = col(5)
+    temp = temp_ref[0, 0]
+
+    l = logits_ref[...].astype(jnp.float32)          # (B, Vpad)
     l = jnp.where(temp > 0, l / jnp.maximum(temp, 1e-8), l)
-    ids = lax.broadcasted_iota(jnp.int32, (1, Vpad), 1)
+    ids = lax.broadcasted_iota(jnp.int32, (B, Vpad), 1)
 
-    sup = suppress_ref[0] != 0  # (1, Vpad)
+    sup = suppress_ref[...] != 0                     # (B, Vpad)
     sup = sup | (ids >= V)
     if suppress_blank:
         sup = sup | (is_initial & ((ids == eot) | (ids == space_id)))
@@ -80,57 +84,58 @@ def _kernel(state_ref, seed_ref, temp_ref, logits_ref, suppress_ref,
 
     l = jnp.where(sup, _NEG, l)
 
-    # masked log-softmax
-    m = jnp.max(l)
-    se = jnp.sum(jnp.where(sup, 0.0, jnp.exp(l - m)))
+    # masked log-softmax (per row)
+    m = jnp.max(l, axis=1, keepdims=True)
+    se = jnp.sum(jnp.where(sup, 0.0, jnp.exp(l - m)), axis=1,
+                 keepdims=True)
     lse = jnp.log(se) + m
     lp = jnp.where(sup, _NEG, l - lse)
 
     # timestamp-sum-vs-best-text rule
     ts = ids >= beg
-    ts_m = jnp.max(jnp.where(ts, lp, _NEG))
-    ts_se = jnp.sum(jnp.where(ts & (~sup), jnp.exp(lp - ts_m), 0.0))
+    ts_m = jnp.max(jnp.where(ts, lp, _NEG), axis=1, keepdims=True)
+    ts_se = jnp.sum(jnp.where(ts & (~sup), jnp.exp(lp - ts_m), 0.0),
+                    axis=1, keepdims=True)
     ts_lp = jnp.where(ts_se > 0, jnp.log(ts_se) + ts_m, _NEG)
-    text_m = jnp.max(jnp.where(ts, _NEG, lp))
+    text_m = jnp.max(jnp.where(ts, _NEG, lp), axis=1, keepdims=True)
     force_ts = ts_lp > text_m
     lp = jnp.where(force_ts & (~ts), _NEG, lp)
 
     probs = jnp.where(lp > _NEG * 0.5, jnp.exp(lp), 0.0)
 
-    # sample
     if argmax_sample:
         choice_scores = probs
     else:
-        pltpu.prng_seed(seed_ref[b, 0])
-        bits = pltpu.prng_random_bits((1, Vpad))
+        pltpu.prng_seed(seed_ref[0, 0])
+        bits = pltpu.prng_random_bits((B, Vpad))
         u = (pltpu.bitcast(bits, jnp.uint32) >> 8).astype(jnp.float32) \
             * (1.0 / (1 << 24))
         gumbel = -jnp.log(-jnp.log(jnp.maximum(u, 1e-12)))
         choice_scores = jnp.where(lp > _NEG * 0.5, lp + gumbel, _NEG)
 
-    tok = jnp.argmax(choice_scores).astype(jnp.int32)
+    tok = jnp.argmax(choice_scores, axis=1).astype(jnp.int32)  # (B,)
 
-    # gather p/plog at tok via masked reductions (no dynamic gather)
-    sel = ids == tok
-    p_sel = jnp.sum(jnp.where(sel, probs, 0.0))
-    lp_sel = jnp.max(jnp.where(sel, lp, _NEG))
+    sel = ids == tok[:, None]
+    p_sel = jnp.sum(jnp.where(sel, probs, 0.0), axis=1)
+    lp_sel = jnp.max(jnp.where(sel, lp, _NEG), axis=1)
 
     # timestamp stats (whisper.cpp:4792-4810)
-    sum_ts = jnp.sum(jnp.where(ts, probs, 0.0))
-    max_ts = jnp.max(jnp.where(ts, probs, 0.0))
-    tid = jnp.argmax(jnp.where(ts, probs, -1.0)).astype(jnp.int32)
+    sum_ts = jnp.sum(jnp.where(ts, probs, 0.0), axis=1)
+    max_ts = jnp.max(jnp.where(ts, probs, 0.0), axis=1)
+    tid = jnp.argmax(jnp.where(ts, probs, -1.0), axis=1).astype(jnp.int32)
     pt = max_ts / (sum_ts + 1e-10)
 
     is_ts_tok = tok >= beg
     tid = jnp.where(is_ts_tok, tok, tid)
     pt = jnp.where(is_ts_tok, p_sel, pt)
 
-    tok_ref[0, 0, 0] = tok
-    p_ref[0, 0, 0] = p_sel
-    plog_ref[0, 0, 0] = lp_sel
-    pt_ref[0, 0, 0] = pt
-    ptsum_ref[0, 0, 0] = sum_ts
-    tid_ref[0, 0, 0] = tid
+    for b in range(B):
+        tok_ref[b, 0] = tok[b]
+        p_ref[b, 0] = p_sel[b]
+        plog_ref[b, 0] = lp_sel[b]
+        pt_ref[b, 0] = pt[b]
+        ptsum_ref[b, 0] = sum_ts[b]
+        tid_ref[b, 0] = tid[b]
 
 
 def fused_filter_sample(
@@ -147,14 +152,11 @@ def fused_filter_sample(
     B, V = logits.shape
     Vpad = -(-V // 512) * 512
 
-    # (B, 1, Vpad) layout: per-program block (1, 1, Vpad) keeps the last
-    # two dims equal to the array's, satisfying mosaic's tiling rule for
-    # any B
     logits_p = jnp.pad(logits, ((0, 0), (0, Vpad - V)),
-                       constant_values=-1e30).reshape(B, 1, Vpad)
+                       constant_values=-1e30)
     sup_p = jnp.pad(suppress_mask.astype(jnp.int32), (0, Vpad - V),
                     constant_values=1)
-    sup_p = jnp.broadcast_to(sup_p[None, None], (B, 1, Vpad))
+    sup_p = jnp.broadcast_to(sup_p[None], (B, Vpad))
 
     state = jnp.stack([
         is_initial.astype(jnp.int32),
@@ -164,45 +166,36 @@ def fused_filter_sample(
         has_ts.astype(jnp.int32),
         seek_delta.astype(jnp.int32),
     ], axis=1)  # (B, 6)
-    seeds2 = seeds.reshape(B, 1).astype(jnp.int32)
-    temps = jnp.broadcast_to(jnp.float32(temperature), (B,)).reshape(B, 1)
+    temps = jnp.float32(temperature).reshape(1, 1)
+    seeds2 = seeds.reshape(-1)[:1].reshape(1, 1).astype(jnp.int32)
 
     kernel = functools.partial(
-        _kernel, V=V, Vpad=Vpad, eot=eot, beg=beg, space_id=space_id,
+        _kernel, B=B, V=V, Vpad=Vpad, eot=eot, beg=beg, space_id=space_id,
         max_initial_tid=max_initial_tid, suppress_blank=suppress_blank,
         no_timestamps=no_timestamps, argmax_sample=argmax_sample)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # state + seeds + temps
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, 1, Vpad), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Vpad), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=tuple(
-            pl.BlockSpec((1, 1, 1), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.SMEM)
-            for _ in range(6)),
-    )
-
-    import os
     outs = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # state (B, 6)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # temps (1, 1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # seed (1, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # logits (B, Vpad)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # suppress (B, Vpad)
+        ],
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(6)),
         out_shape=(
-            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ),
         interpret=os.environ.get("GWT_PALLAS_INTERPRET") == "1",
-    )(state, seeds2, temps, logits_p, sup_p)
+    )(state, temps, seeds2, logits_p, sup_p)
 
     tok, p, plog, pt, ptsum, tid = outs
-    return SampleOut(token=tok[:, 0, 0], p=p[:, 0, 0], plog=plog[:, 0, 0],
-                     pt=pt[:, 0, 0], ptsum=ptsum[:, 0, 0],
-                     tid=tid[:, 0, 0])
+    return SampleOut(token=tok[:, 0], p=p[:, 0], plog=plog[:, 0],
+                     pt=pt[:, 0], ptsum=ptsum[:, 0], tid=tid[:, 0])
