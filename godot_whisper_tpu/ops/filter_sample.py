@@ -108,8 +108,10 @@ def _kernel(state_ref, temp_ref, seed_ref, logits_ref, suppress_ref,
     else:
         pltpu.prng_seed(seed_ref[0, 0])
         bits = pltpu.prng_random_bits((B, Vpad))
-        u = (pltpu.bitcast(bits, jnp.uint32) >> 8).astype(jnp.float32) \
-            * (1.0 / (1 << 24))
+        # mosaic lacks uint32->f32 casts: go through int32 with the top
+        # bits masked off (24-bit uniform is plenty for Gumbel sampling)
+        bits24 = pltpu.bitcast(bits, jnp.int32) & 0xFFFFFF
+        u = bits24.astype(jnp.float32) * (1.0 / (1 << 24))
         gumbel = -jnp.log(-jnp.log(jnp.maximum(u, 1e-12)))
         choice_scores = jnp.where(lp > _NEG * 0.5, lp + gumbel, _NEG)
 

@@ -72,6 +72,11 @@ class StreamingConfig:
     vad_last_ms: int = 1000
     language: str = "en"
     interpolator: Interpolator = Interpolator.SINC_FASTEST
+    # dynamic audio_ctx rounds UP to a multiple of this so the encoder
+    # compiles once per bucket instead of once per interval (the reference
+    # recomputes ggml graphs each call, which is free there but a fresh
+    # XLA compile here; rounding up only ever ADDS context).  0 = exact.
+    audio_ctx_bucket: int = 128
 
 
 class StreamingTranscriber:
@@ -129,8 +134,11 @@ class StreamingTranscriber:
                 "audio.input.transcribe.freq_threshold")))
 
         total_time = len(resampled) / SAMPLE_RATE
-        # dynamic audio_ctx formula (gd:84)
+        # dynamic audio_ctx formula (gd:84), bucketed for compile stability
         audio_ctx = int(total_time * 1500 / 30 + 128)
+        if cfg.audio_ctx_bucket > 0:
+            b = cfg.audio_ctx_bucket
+            audio_ctx = -(-audio_ctx // b) * b
         if not cfg.use_dynamic_audio_context:
             audio_ctx = 0
         audio_ctx = min(audio_ctx, self.ctx.config.n_audio_ctx)

@@ -58,8 +58,10 @@ def test_streaming_loop(nano_ctx, rng):
     report = st.process_once()
     assert report is not None
     assert report["no_activity"] is False  # noisy buffer: VAD says continue
-    # dynamic audio_ctx formula: total_time*1500/30 + 128 (gd:84)
-    assert report["audio_ctx"] == int(4.0 * 1500 / 30 + 128)
+    # dynamic audio_ctx formula total_time*1500/30 + 128 (gd:84), rounded
+    # up to the compile bucket
+    exact = int(4.0 * 1500 / 30 + 128)
+    assert exact <= report["audio_ctx"] <= exact + 128
     assert len(events) == 1
 
 
@@ -74,8 +76,9 @@ def test_streaming_resamples_other_rates(nano_ctx, rng):
     st.push_audio((0.2 * rng.standard_normal(48000 * 2)).astype(np.float32))
     report = st.process_once()
     assert report is not None
-    # 2 s at 48 kHz -> 2 s at 16 kHz
-    assert report["audio_ctx"] == int(2.0 * 1500 / 30 + 128)
+    # 2 s at 48 kHz -> 2 s at 16 kHz (bucketed upward)
+    exact = int(2.0 * 1500 / 30 + 128)
+    assert exact <= report["audio_ctx"] <= exact + 128
 
 
 def test_streaming_finalize_trims_buffer(nano_ctx):
