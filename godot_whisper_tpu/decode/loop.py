@@ -27,6 +27,7 @@ from ..models.config import WhisperConfig, MAX_DECODERS
 from ..models.model import (CrossKV, causal_prompt_mask, cross_kv,
                             decoder_forward, encoder_forward, init_kv_cache)
 from ..runtime.metrics import Timings
+from ..runtime.trace import tracer
 from .filters import build_filter_context
 from .language import detect_language_from_logits, lang_id, lang_str
 from .params import SamplingStrategy, TranscribeParams
@@ -131,6 +132,8 @@ class WhisperPipeline:
         """
         n_ctx = audio_ctx or self.config.n_audio_ctx
         t0 = time.perf_counter()
+        tspan = tracer.span("encode_window", seek=seek, audio_ctx=n_ctx)
+        tspan.__enter__()
         if self._mel_device is not None:
             fn = self._encode_sliced_fn(audio_ctx,
                                         self._mel_device.shape[1])
@@ -145,6 +148,7 @@ class WhisperPipeline:
             window[:i1 - i0] = mel[:, i0:i1].T
             enc, xkv = self._encode_fn(n_ctx)(self.params, window[None])
         jax.block_until_ready(xkv.k)
+        tspan.__exit__(None, None, None)
         self.timings.t_encode_us += int((time.perf_counter() - t0) * 1e6)
         self.timings.n_encode += 1
         return enc, xkv
@@ -169,11 +173,14 @@ class WhisperPipeline:
     # ------------------------------------------------------------------ mel
     def set_audio(self, samples: np.ndarray) -> None:
         t0 = time.perf_counter()
+        tspan = tracer.span("mel", n_samples=len(samples))
+        tspan.__enter__()
         self._samples = np.asarray(samples, dtype=np.float32)
         self._mel_device, self._mel_n_len = self.mel.device(samples)
         jax.block_until_ready(self._mel_device)
         self._mel_data = None  # host copy materialized lazily
         _, self._n_len_org = frame_counts(len(samples))
+        tspan.__exit__(None, None, None)
         self.timings.t_mel_us += int((time.perf_counter() - t0) * 1e6)
 
     def mel_host(self) -> Optional[np.ndarray]:
@@ -302,6 +309,9 @@ class WhisperPipeline:
                 prompt += prompt_init
 
                 t0 = time.perf_counter()
+                dspan = tracer.span("decode_window", seek=seek,
+                                    temperature=t_cur, n_decoders=n_dec)
+                dspan.__enter__()
                 host_mode = (tparams.grammar_rules is not None
                              or tparams.logits_filter_callback is not None)
                 if host_mode:
@@ -333,6 +343,7 @@ class WhisperPipeline:
                         max_tokens=tparams.max_tokens,
                         test_mode=(self.n_loaded == 0),
                         seed=tparams.seed + it)
+                dspan.__exit__(None, None, None)
                 self.timings.t_decode_us += int(
                     (time.perf_counter() - t0) * 1e6)
                 self.timings.n_decode += res.n_steps * n_dec

@@ -103,3 +103,24 @@ def test_output_formats():
                                       language="en", full=True))
     assert data["transcription"][0]["offsets"] == {"from": 0, "to": 1500}
     assert data["transcription"][0]["tokens"][0]["id"] == 1
+
+
+def test_tracer_spans(tmp_path, nano_ctx, rng):
+    from godot_whisper_tpu.runtime.trace import tracer
+    import json as _json
+    import numpy as _np
+
+    tracer.clear()
+    tracer.enable()
+    try:
+        audio = (0.2 * rng.standard_normal(2 * 16000)).astype(_np.float32)
+        nano_ctx.full(gwt.TranscribeParams(best_of=1, temperature_inc=0.0),
+                      audio)
+        path = str(tmp_path / "trace.json")
+        tracer.dump(path)
+    finally:
+        tracer.enabled = False
+        tracer.clear()
+    data = _json.load(open(path))
+    names = {e["name"] for e in data["traceEvents"]}
+    assert {"mel", "encode_window", "decode_window"} <= names
