@@ -25,7 +25,8 @@ from ..audio.mel import MelFrontend, frame_counts
 from ..audio.tokenizer import Tokenizer
 from ..models.config import WhisperConfig, MAX_DECODERS
 from ..models.model import (CrossKV, causal_prompt_mask, cross_kv,
-                            decoder_forward, encoder_forward, init_kv_cache)
+                            decoder_forward, encoder_forward,
+                            init_kv_cache, quantize_cross_kv)
 from ..runtime.metrics import Timings
 from ..runtime.trace import tracer
 from .filters import build_filter_context
@@ -99,11 +100,12 @@ class WhisperPipeline:
             self._encode_cache[audio_ctx] = fn
         return fn
 
-    def _encode_sliced_fn(self, audio_ctx: int, bucket_frames: int):
+    def _encode_sliced_fn(self, audio_ctx: int, bucket_frames: int,
+                          quant_kv: bool = False):
         """Device-side window slice + encode: the mel stays resident on
         the TPU instead of round-tripping each 30 s window through the host
         (the reference's copy at whisper.cpp:1692-1706)."""
-        key = ("sliced", audio_ctx, bucket_frames)
+        key = ("sliced", audio_ctx, bucket_frames, quant_kv)
         fn = self._encode_cache.get(key)
         if fn is None:
             config = self.config
@@ -118,13 +120,17 @@ class WhisperPipeline:
                 window = jnp.where((idx < n_len)[None, :], window, 0.0)
                 enc = encoder_forward(params, config, window.T[None],
                                       audio_ctx=audio_ctx)
-                return enc, cross_kv(params, config, enc)
+                xkv = cross_kv(params, config, enc)
+                if quant_kv:
+                    xkv = quantize_cross_kv(xkv)
+                return enc, xkv
 
             fn = jax.jit(encode)
             self._encode_cache[key] = fn
         return fn
 
-    def encode_window(self, seek: int, audio_ctx: int = 0):
+    def encode_window(self, seek: int, audio_ctx: int = 0,
+                      quant_kv: bool = False):
         """Encode mel[seek : seek+2*n_ctx] -> (enc_out, CrossKV).
 
         Mirrors whisper_encode_internal's window slice
@@ -136,7 +142,8 @@ class WhisperPipeline:
         tspan.__enter__()
         if self._mel_device is not None:
             fn = self._encode_sliced_fn(audio_ctx,
-                                        self._mel_device.shape[1])
+                                        self._mel_device.shape[1],
+                                        quant_kv)
             enc, xkv = fn(self.params, self._mel_device, jnp.int32(seek),
                           jnp.int32(self._mel_n_len))
         else:
@@ -147,7 +154,7 @@ class WhisperPipeline:
             i1 = min(seek + 2 * n_ctx, mel.shape[1])
             window[:i1 - i0] = mel[:, i0:i1].T
             enc, xkv = self._encode_fn(n_ctx)(self.params, window[None])
-        jax.block_until_ready(xkv.k)
+        jax.block_until_ready(xkv[0])
         tspan.__exit__(None, None, None)
         self.timings.t_encode_us += int((time.perf_counter() - t0) * 1e6)
         self.timings.n_encode += 1
@@ -289,7 +296,8 @@ class WhisperPipeline:
                     and not tparams.encoder_begin_callback(self)):
                 break
 
-            _, xkv = self.encode_window(seek, tparams.audio_ctx)
+            _, xkv = self.encode_window(seek, tparams.audio_ctx,
+                                        tparams.cross_kv_int8)
 
             # drop stale context near the end (whisper.cpp:5176-5180)
             if seek > seek_start and seek + 500 >= seek_end:

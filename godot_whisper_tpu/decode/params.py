@@ -47,6 +47,10 @@ class TranscribeParams:
 
     audio_ctx: int = 0  # 0 = full n_audio_ctx; reduced for streaming speed
 
+    # int8-quantized cross-attention KV (TPU bandwidth optimization for
+    # large models; see models/model.py QuantCrossKV). Opt-in.
+    cross_kv_int8: bool = False
+
     tdrz_enable: bool = False
 
     initial_prompt: Optional[str] = None

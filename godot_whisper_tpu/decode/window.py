@@ -40,14 +40,30 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..models.config import WhisperConfig
-from ..models.model import (CrossKV, KVCache, causal_prompt_mask,
-                            decoder_forward, init_kv_cache, reorder_kv_cache,
-                            step_mask)
+from ..models.model import (CrossKV, KVCache, QuantCrossKV,
+                            causal_prompt_mask, decoder_forward,
+                            init_kv_cache, reorder_kv_cache, step_mask)
 from ..ops.attention import use_pallas
 from ..ops.filter_sample import fused_filter_sample
 from .filters import FilterContext, process_logits, timestamp_stats
 
 SEEK_DELTA_FULL = 3000  # 100 * WHISPER_CHUNK_SIZE (whisper.cpp:5222)
+
+
+def _xkv_map(xkv, fn):
+    """Apply fn to every array of a CrossKV/QuantCrossKV."""
+    return type(xkv)(*(fn(a) for a in xkv))
+
+
+def _xkv_slice_one(xkv):
+    return _xkv_map(xkv, lambda a: a[:, :1])
+
+
+def _xkv_broadcast(xkv, B: int):
+    if xkv[0].shape[1] == 1 and B > 1:
+        return _xkv_map(xkv, lambda a: jnp.broadcast_to(
+            a, (a.shape[0], B) + a.shape[2:]))
+    return xkv
 
 
 class LoopState(NamedTuple):
@@ -260,7 +276,7 @@ class WindowDecoder:
                 kv1 = init_kv_cache(config, 1, dtype=dtype)
                 positions = jnp.arange(P, dtype=jnp.int32)[None]
                 pmask = causal_prompt_mask(config, n_prompt, P, 1)
-                xkv1 = CrossKV(k=xkv_b.k[:, :1], v=xkv_b.v[:, :1])
+                xkv1 = _xkv_slice_one(xkv_b)
                 plogits, kv1 = decoder_forward(
                     params, config, prompt[None], positions, kv1, xkv1,
                     pmask)
@@ -506,12 +522,7 @@ class WindowDecoder:
         prompt_arr[:P] = prompt_tokens
 
         # broadcast cross-KV to the decoder batch
-        if xkv.k.shape[1] == 1 and n_decoders > 1:
-            xkv = CrossKV(
-                k=jnp.broadcast_to(xkv.k, (xkv.k.shape[0], n_decoders)
-                                   + xkv.k.shape[2:]),
-                v=jnp.broadcast_to(xkv.v, (xkv.v.shape[0], n_decoders)
-                                   + xkv.v.shape[2:]))
+        xkv = _xkv_broadcast(xkv, n_decoders)
 
         st = fn(params, xkv, jnp.asarray(prompt_arr), jnp.int32(P),
                 jnp.float32(temperature), jnp.int32(seek),

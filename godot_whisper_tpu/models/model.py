@@ -156,6 +156,57 @@ class CrossKV(NamedTuple):
     v: jax.Array  # (L, B, n_audio_ctx, H, Dh)
 
 
+class QuantCrossKV(NamedTuple):
+    """Int8-quantized cross-attention KV.
+
+    large-v3 decode is HBM-bandwidth-bound and the cross KV is its largest
+    per-step read (L*B*1500*H*D * 2 tensors); int8 storage halves that.
+    K keeps a per-(position, head) scale (factorable out of the score
+    contraction); V uses a per-head scale (must factor out of the
+    probs-weighted sum).  Opt-in via TranscribeParams.cross_kv_int8.
+    """
+
+    k_q: jax.Array  # (L, B, T, H, Dh) int8
+    k_s: jax.Array  # (L, B, T, H) f32
+    v_q: jax.Array  # (L, B, T, H, Dh) int8
+    v_s: jax.Array  # (L, B, H) f32
+
+
+def quantize_cross_kv(xkv: CrossKV) -> QuantCrossKV:
+    kf = xkv.k.astype(jnp.float32)
+    vf = xkv.v.astype(jnp.float32)
+    k_s = jnp.max(jnp.abs(kf), axis=-1) / 127.0                # (L,B,T,H)
+    k_q = jnp.clip(jnp.round(kf / jnp.maximum(k_s[..., None], 1e-9)),
+                   -127, 127).astype(jnp.int8)
+    v_s = jnp.max(jnp.abs(vf), axis=(2, 4)) / 127.0            # (L,B,H)
+    v_q = jnp.clip(
+        jnp.round(vf / jnp.maximum(v_s[:, :, None, :, None], 1e-9)),
+        -127, 127).astype(jnp.int8)
+    return QuantCrossKV(k_q=k_q, k_s=k_s, v_q=v_q, v_s=v_s)
+
+
+def mha_cross_quant(q: jax.Array, k_q: jax.Array, k_s: jax.Array,
+                    v_q: jax.Array, v_s: jax.Array) -> jax.Array:
+    """Cross attention against int8 KV: int8x int8 MXU contractions with
+    scales folded outside the sums.  q: (B, Tq, H, D)."""
+    dh = q.shape[-1]
+    qf = q.astype(jnp.float32)
+    sq = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) / 127.0  # (B,Tq,H,1)
+    q_i8 = jnp.clip(jnp.round(qf / jnp.maximum(sq, 1e-9)),
+                    -127, 127).astype(jnp.int8)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q_i8, k_q,
+                   preferred_element_type=jnp.int32).astype(jnp.float32)
+    s = s * sq.transpose(0, 2, 1, 3)                # (B,H,Tq,1)
+    s = s * k_s.transpose(0, 2, 1)[:, :, None, :]   # (B,H,1,Tk)
+    s = s * jnp.float32(1.0 / (dh ** 0.5))
+    p = jax.nn.softmax(s, axis=-1)
+    p_i8 = jnp.round(p * 127.0).astype(jnp.int8)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p_i8, v_q,
+                   preferred_element_type=jnp.int32).astype(jnp.float32)
+    o = o * (1.0 / 127.0) * v_s[:, None, :, None]   # (B,1,H,1)
+    return o
+
+
 def cross_kv(params: Params, config: WhisperConfig,
              enc_out: jax.Array) -> CrossKV:
     """Precompute cross-attention K/V for every decoder layer
@@ -231,10 +282,11 @@ def decoder_forward(
     blocks = dec["blocks"]
     # batch indices for the KV scatter: (B, T)
     b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
+    quant_xkv = isinstance(xkv, QuantCrossKV)
 
     # Scan over the layer axis of both the stacked weights and the caches.
     def one_layer(x, inputs):
-        layer, kv_k, kv_v, xk, xv = inputs
+        layer, kv_k, kv_v, xkv_l = inputs
         ln0 = layer["attn_ln"]
         attn = layer["attn"]
         h = layer_norm(x, ln0["g"], ln0["b"]).astype(cdtype)
@@ -253,7 +305,11 @@ def decoder_forward(
         cattn = layer["cross_attn"]
         h = layer_norm(x, lnc["g"], lnc["b"]).astype(cdtype)
         qc = _heads(_proj(h, cattn["wq"], cattn["bq"]), n_head)
-        oc = _merge_heads(mha(qc, xk, xv)).astype(cdtype)
+        if quant_xkv:
+            oc_h = mha_cross_quant(qc, *xkv_l)
+        else:
+            oc_h = mha(qc, *xkv_l)
+        oc = _merge_heads(oc_h).astype(cdtype)
         x = x + _proj(oc, cattn["wo"], cattn["bo"], out_dtype=cdtype)
 
         ln1 = layer["mlp_ln"]
@@ -264,9 +320,11 @@ def decoder_forward(
         x = (x + h).astype(cdtype)
         return x, (kv_k, kv_v)
 
+    xkv_xs = ((xkv.k_q, xkv.k_s, xkv.v_q, xkv.v_s) if quant_xkv
+              else (xkv.k, xkv.v))
     x, (new_k, new_v) = lax.scan(
         lambda c, inp: one_layer(c, inp), x,
-        (blocks, kv.k, kv.v, xkv.k, xkv.v))
+        (blocks, kv.k, kv.v, xkv_xs))
 
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"]).astype(cdtype)
     logits = jnp.einsum("bts,vs->btv", x, dec["token_embed"],

@@ -174,3 +174,34 @@ def test_parity_vs_transformers(d_model, heads, layers):
     # is lossy, so compare logits computed from HF hidden state instead.
     hf_logits = hf_dec @ np.asarray(params["decoder"]["token_embed"]).T
     np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=2e-3)
+
+
+def test_quantized_cross_kv_close(tiny_cfg, tiny_params):
+    """int8 cross-KV attention approximates the bf16 path."""
+    import numpy as np
+    from godot_whisper_tpu.models.model import quantize_cross_kv
+
+    rng = np.random.default_rng(5)
+    mel = jnp.asarray(rng.standard_normal(
+        (1, 2 * tiny_cfg.n_audio_ctx, tiny_cfg.n_mels)).astype(np.float32))
+    enc = encoder_forward(tiny_params, tiny_cfg, mel)
+    xkv = cross_kv(tiny_params, tiny_cfg, enc)
+    qkv = quantize_cross_kv(xkv)
+
+    B, T = 1, 4
+    tokens = jnp.asarray([[5, 6, 7, 8]], dtype=jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    mask = causal_prompt_mask(tiny_cfg, jnp.int32(T), T, B)
+
+    kv0 = init_kv_cache(tiny_cfg, B, dtype=jnp.float32)
+    ref_logits, _ = decoder_forward(tiny_params, tiny_cfg, tokens,
+                                    positions, kv0, xkv, mask)
+    kv0 = init_kv_cache(tiny_cfg, B, dtype=jnp.float32)
+    q_logits, _ = decoder_forward(tiny_params, tiny_cfg, tokens,
+                                  positions, kv0, qkv, mask)
+    a = np.asarray(ref_logits)
+    b = np.asarray(q_logits)
+    # int8 quantization noise: numeric closeness (random weights give
+    # near-flat logits, so exact argmax is not a meaningful check here)
+    assert np.abs(a - b).mean() < 0.02
+    assert np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1] > 0.999
