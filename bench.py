@@ -40,6 +40,7 @@ def main() -> None:
 
     model = os.environ.get("BENCH_MODEL", "tiny.en")
     audio_seconds = float(os.environ.get("BENCH_AUDIO_SECONDS", "120"))
+    quantize = os.environ.get("BENCH_QUANTIZE") or None  # e.g. "int8"
 
     stub = ("/root/reference/thirdparty/whisper.cpp/models/"
             f"for-tests-ggml-{model}.bin")
@@ -52,12 +53,16 @@ def main() -> None:
         from godot_whisper_tpu.decode.loop import WhisperPipeline
         raw = read_checkpoint(stub)
         params = init_params(raw.config, seed=0)
+        if quantize:
+            from godot_whisper_tpu.models.quant import quantize_decoder_int8
+            params = quantize_decoder_int8(params)
         tokenizer = Tokenizer(raw.config, raw.vocab_tokens)
         pipe = WhisperPipeline(raw.config, params, tokenizer,
                                raw.mel_filters, n_loaded=1)
         ctx = gwt.WhisperContext(pipe)
     else:
-        ctx = gwt.WhisperContext.synthetic(model, seed=0)
+        ctx = gwt.WhisperContext.synthetic(model, seed=0,
+                                           quantize=quantize)
 
     tp = gwt.TranscribeParams(best_of=1, temperature_inc=0.0,
                               print_progress=False)

@@ -59,26 +59,44 @@ class WhisperContext:
 
     # ------------------------------------------------------------ constructors
     @classmethod
-    def from_file(cls, path: str, *, compute_dtype=None) -> "WhisperContext":
-        """Load a ggml .bin checkpoint (whisper_init_from_file)."""
+    def from_file(cls, path: str, *, compute_dtype=None,
+                  quantize: Optional[str] = None) -> "WhisperContext":
+        """Load a ggml .bin checkpoint (whisper_init_from_file).
+
+        ``quantize="int8"`` stores the decoder weights int8 with in-kernel
+        dequant (models/quant.py) — half the decode-time HBM traffic.
+        """
         raw = loader_ggml.read_checkpoint(path)
-        return cls._from_raw(raw, compute_dtype)
+        return cls._from_raw(raw, compute_dtype, quantize)
 
     @classmethod
-    def from_buffer(cls, buf: bytes, *, compute_dtype=None) -> "WhisperContext":
+    def from_buffer(cls, buf: bytes, *, compute_dtype=None,
+                    quantize: Optional[str] = None) -> "WhisperContext":
         """Load from an in-memory ggml model (whisper_init_from_buffer) —
         the path godot-whisper uses for Godot resources
         (src/speech_to_text.cpp:345)."""
         raw = loader_ggml.read_checkpoint(buf)
-        return cls._from_raw(raw, compute_dtype)
+        return cls._from_raw(raw, compute_dtype, quantize)
+
+    @staticmethod
+    def _quantize(params, quantize: Optional[str]):
+        if quantize in (None, "", "none"):
+            return params
+        if quantize in ("int8", "q8", "q8_0"):
+            from .models.quant import quantize_decoder_int8
+            return quantize_decoder_int8(params)
+        raise ValueError(f"unknown quantize mode {quantize!r} "
+                         "(supported: 'int8')")
 
     @classmethod
-    def _from_raw(cls, raw, compute_dtype=None) -> "WhisperContext":
+    def _from_raw(cls, raw, compute_dtype=None,
+                  quantize: Optional[str] = None) -> "WhisperContext":
         import time
         import jax.numpy as jnp
         t0 = time.perf_counter()
         dtype = compute_dtype or jnp.bfloat16
-        params = params_from_raw(raw, compute_dtype=dtype)
+        params = cls._quantize(params_from_raw(raw, compute_dtype=dtype),
+                               quantize)
         tokenizer = Tokenizer(raw.config, raw.vocab_tokens)
         pipe = WhisperPipeline(raw.config, params, tokenizer,
                                raw.mel_filters, n_loaded=raw.n_loaded)
@@ -86,12 +104,14 @@ class WhisperContext:
         return cls(pipe)
 
     @classmethod
-    def from_hf(cls, path: str, *, compute_dtype=None) -> "WhisperContext":
+    def from_hf(cls, path: str, *, compute_dtype=None,
+                quantize: Optional[str] = None) -> "WhisperContext":
         """Load a local HuggingFace Whisper snapshot directory."""
         import jax.numpy as jnp
         from .models.loader_hf import load_hf_checkpoint
         dtype = compute_dtype or jnp.bfloat16
         config, params = load_hf_checkpoint(path, compute_dtype=dtype)
+        params = cls._quantize(params, quantize)
         tokenizer = Tokenizer(config, synthetic_vocab(config))
         pipe = WhisperPipeline(config, params, tokenizer,
                                mel_filterbank(config.n_mels), n_loaded=1)
@@ -99,12 +119,14 @@ class WhisperContext:
 
     @classmethod
     def synthetic(cls, name: str = "tiny.en", *, seed: int = 0,
-                  compute_dtype=None) -> "WhisperContext":
+                  compute_dtype=None,
+                  quantize: Optional[str] = None) -> "WhisperContext":
         """Random-weight model for benches/tests (no checkpoint needed)."""
         import jax.numpy as jnp
         config = get_config(name)
         dtype = compute_dtype or jnp.bfloat16
-        params = init_params(config, seed=seed, compute_dtype=dtype)
+        params = cls._quantize(
+            init_params(config, seed=seed, compute_dtype=dtype), quantize)
         tokenizer = Tokenizer(config, synthetic_vocab(config))
         pipe = WhisperPipeline(config, params, tokenizer,
                                mel_filterbank(config.n_mels), n_loaded=1)
@@ -197,15 +219,14 @@ class WhisperContext:
         return the logits of the last token.  Requires audio/mel set."""
         import jax.numpy as jnp
         from .models.model import (causal_prompt_mask, decoder_forward,
-                                   init_kv_cache)
+                                   init_kv_cache, param_compute_dtype)
 
         _, xkv = self._p.encode_window(seek)
         config = self._p.config
         toks = list(tokens)
         T = len(toks)
         kv = init_kv_cache(config, 1,
-                           dtype=self._p.params["decoder"][
-                               "token_embed"].dtype)
+                           dtype=param_compute_dtype(self._p.params))
         arr = jnp.asarray([toks], dtype=jnp.int32)
         positions = jnp.broadcast_to(
             jnp.arange(n_past, n_past + T, dtype=jnp.int32), (1, T))

@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-ojf", "--output-json-full", action="store_true")
     p.add_argument("-of", "--output-file", default=None,
                    help="output basename (default: input path)")
+    p.add_argument("--quantize", default=None, metavar="MODE",
+                   help="runtime weight quantization: int8 (decoder "
+                        "weights stored int8, dequantized in-kernel)")
     p.add_argument("--print-special", action="store_true")
     p.add_argument("--no-prints", action="store_true")
     return p
@@ -77,11 +80,13 @@ def main(argv: List[str] = None) -> int:
     enable_compilation_cache()
 
     if args.synthetic:
-        ctx = gwt.WhisperContext.synthetic(args.synthetic)
+        ctx = gwt.WhisperContext.synthetic(args.synthetic,
+                                           quantize=args.quantize)
     elif os.path.isdir(args.model):
-        ctx = gwt.WhisperContext.from_hf(args.model)
+        ctx = gwt.WhisperContext.from_hf(args.model, quantize=args.quantize)
     else:
-        ctx = gwt.WhisperContext.from_file(args.model)
+        ctx = gwt.WhisperContext.from_file(args.model,
+                                           quantize=args.quantize)
 
     strategy = (gwt.SamplingStrategy.BEAM_SEARCH if args.beam_size > 1
                 else gwt.SamplingStrategy.GREEDY)

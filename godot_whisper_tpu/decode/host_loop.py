@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..models.config import WhisperConfig
 from ..models.model import (CrossKV, causal_prompt_mask, decoder_forward,
+                            param_compute_dtype,
                             init_kv_cache, step_mask)
 from .filters import FilterContext, process_logits, timestamp_stats
 from .grammar import Grammar
@@ -47,7 +48,7 @@ class HostWindowDecoder:
 
             def prompt_pass(params, xkv, prompt, n_prompt):
                 kv = init_kv_cache(
-                    config, 1, dtype=params["decoder"]["token_embed"].dtype)
+                    config, 1, dtype=param_compute_dtype(params))
                 positions = jnp.arange(P, dtype=jnp.int32)[None]
                 mask = causal_prompt_mask(config, n_prompt, P, 1)
                 logits, kv = decoder_forward(params, config, prompt[None],

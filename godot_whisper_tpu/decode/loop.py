@@ -25,6 +25,7 @@ from ..audio.mel import MelFrontend, frame_counts
 from ..audio.tokenizer import Tokenizer
 from ..models.config import WhisperConfig, MAX_DECODERS
 from ..models.model import (CrossKV, causal_prompt_mask, cross_kv,
+                            param_compute_dtype,
                             decoder_forward, encoder_forward,
                             init_kv_cache, quantize_cross_kv)
 from ..runtime.metrics import Timings
@@ -168,7 +169,7 @@ class WhisperPipeline:
         _, xkv = self.encode_window(seek, audio_ctx)
         config = self.config
         kv = init_kv_cache(config, 1,
-                           dtype=self.params["decoder"]["token_embed"].dtype)
+                           dtype=param_compute_dtype(self.params))
         tokens = jnp.asarray([[config.token_sot]], dtype=jnp.int32)
         positions = jnp.zeros((1, 1), dtype=jnp.int32)
         mask = causal_prompt_mask(config, jnp.int32(1), 1, 1)

@@ -41,6 +41,7 @@ from jax import lax
 
 from ..models.config import WhisperConfig
 from ..models.model import (CrossKV, KVCache, QuantCrossKV,
+                            param_compute_dtype,
                             causal_prompt_mask, decoder_forward,
                             init_kv_cache, reorder_kv_cache, step_mask)
 from ..ops.attention import use_pallas
@@ -257,7 +258,7 @@ class WindowDecoder:
             # the static suppression mask rides in as an argument — a (V,)
             # trace-time constant makes remote compiles pathologically slow
             tfctx = fctx._replace(static_suppress=suppress_mask)
-            dtype = params["decoder"]["token_embed"].dtype
+            dtype = param_compute_dtype(params)
             if statics.per_stream:
                 # ---- per-stream prompt pass: each row decodes its own
                 # prompt (B, P) with its own length (B,)

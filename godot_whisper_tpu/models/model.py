@@ -33,10 +33,18 @@ import jax.numpy as jnp
 from jax import lax
 
 from .config import WhisperConfig
+from ..ops.qmatmul import QuantTensor, quant_matmul
 
 Params = Dict[str, Any]
 
 _NEG_INF = jnp.float32(-1e30)
+
+
+def param_compute_dtype(params: Params):
+    """Matmul compute dtype of a param pytree (bf16 when the decoder is
+    int8-quantized — the MXU contracts in bf16 after in-VMEM dequant)."""
+    te = params["decoder"]["token_embed"]
+    return jnp.bfloat16 if isinstance(te, QuantTensor) else te.dtype
 
 
 def layer_norm(x: jax.Array, g: jax.Array, b: jax.Array,
@@ -81,8 +89,16 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
     return out
 
 
-def _proj(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None,
+def _proj(x: jax.Array, w, b: Optional[jax.Array] = None,
           out_dtype=None) -> jax.Array:
+    if isinstance(w, QuantTensor):
+        # int8 weight path: HBM reads halve, dequant happens in VMEM
+        # inside the Pallas kernel (ops/qmatmul.py)
+        y = quant_matmul(x, w, layout="io")
+        if b is not None:
+            y = y + b
+        return y.astype(out_dtype if out_dtype is not None
+                        else jnp.bfloat16)
     y = jnp.einsum("...i,io->...o", x, w,
                    preferred_element_type=jnp.float32)
     if b is not None:
@@ -272,10 +288,17 @@ def decoder_forward(
     """
     dec = params["decoder"]
     n_head = config.n_text_head
-    cdtype = dec["token_embed"].dtype
+    te = dec["token_embed"]
+    quant_te = isinstance(te, QuantTensor)
+    cdtype = jnp.bfloat16 if quant_te else te.dtype
     B, T = tokens.shape
 
-    x = dec["token_embed"][tokens].astype(jnp.float32)
+    if quant_te:
+        # per-row dequant of the gathered embedding rows (scales are per
+        # vocab row, so the gather reads int8 + one f32 scalar per token)
+        x = te.q[tokens].astype(jnp.float32) * te.s[tokens][..., None]
+    else:
+        x = te[tokens].astype(jnp.float32)
     x = x + dec["pos_embed"][positions]
     x = x.astype(cdtype)
 
@@ -327,8 +350,13 @@ def decoder_forward(
         (blocks, kv.k, kv.v, xkv_xs))
 
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"]).astype(cdtype)
-    logits = jnp.einsum("bts,vs->btv", x, dec["token_embed"],
-                        preferred_element_type=jnp.float32)
+    if quant_te:
+        # logits against the SAME int8 buffer ("oi" layout: contraction
+        # over S, per-vocab-row scales factor out of the sum)
+        logits = quant_matmul(x, te, layout="oi")
+    else:
+        logits = jnp.einsum("bts,vs->btv", x, te,
+                            preferred_element_type=jnp.float32)
     return logits, KVCache(k=new_k, v=new_v)
 
 

@@ -1,0 +1,58 @@
+"""Int8 decoder quantization: the runtime-compute half of ggml-quants' role.
+
+The loader (loader_ggml.py) already reads the reference's q4/q5/q8 block
+formats but dequantized everything to bf16 — so quantized checkpoints paid
+full-width HBM reads at decode time.  This transform re-quantizes the
+DECODER weights to int8 with per-output-channel scales (ops/qmatmul.py)
+after load:
+
+- decode is the bandwidth-bound stage (every step reads every decoder
+  weight once; docs/SCALING.md) — int8 halves that traffic;
+- the encoder stays bf16: it is MXU-compute-bound at batch and its
+  output feeds the quality-critical cross-KV, so there is nothing to win;
+- the token embedding quantizes per vocab row (V, S): the same int8
+  buffer serves the embedding gather and the logits contraction.
+
+Inference-only (quantized pytrees are not differentiable); training keeps
+bf16 params (models/training.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+from ..ops.qmatmul import QuantTensor, quantize_tensor
+
+Params = Dict[str, Any]
+
+# matmul-weight keys inside decoder blocks, all stored (L, S_in, O_out):
+# per-output-channel scales -> reduce over axis 1.
+_BLOCK_WEIGHT_KEYS = ("wq", "wk", "wv", "wo", "w0", "w1")
+
+
+def quantize_decoder_int8(params: Params) -> Params:
+    """Return a copy of the param pytree with decoder matmul weights and
+    the token embedding as int8 QuantTensors.  Idempotent."""
+    dec = params["decoder"]
+    new_blocks: Dict[str, Any] = {}
+    for group, sub in dec["blocks"].items():
+        new_sub = {}
+        for k, v in sub.items():
+            if k in _BLOCK_WEIGHT_KEYS and not isinstance(v, QuantTensor):
+                new_sub[k] = quantize_tensor(v, reduce_axis=1)
+            else:
+                new_sub[k] = v
+        new_blocks[group] = new_sub
+
+    te = dec["token_embed"]
+    if not isinstance(te, QuantTensor):
+        te = quantize_tensor(te, reduce_axis=1)  # (V, S): per-row scales
+
+    new_dec = dict(dec)
+    new_dec["blocks"] = new_blocks
+    new_dec["token_embed"] = te
+    return {"encoder": params["encoder"], "decoder": new_dec}
+
+
+def is_quantized(params: Params) -> bool:
+    return isinstance(params["decoder"]["token_embed"], QuantTensor)

@@ -63,6 +63,33 @@ def _ln_pspecs() -> Dict[str, P]:
     return {"g": P(None, None), "b": P(None, None)}
 
 
+def _quant_spec(qt, spec: P) -> Any:
+    """Mirror a weight PartitionSpec onto a QuantTensor leaf: ``q`` keeps
+    the weight spec; ``s`` drops the axis the scales were reduced over
+    (the contraction axis), so a tp-sharded output axis stays tp-sharded
+    on the scales."""
+    from ..ops.qmatmul import QuantTensor, reduced_axis
+    axis = reduced_axis(qt)
+    padded = tuple(spec) + (None,) * (qt.q.ndim - len(tuple(spec)))
+    s_spec = P(*(a for i, a in enumerate(padded) if i != axis))
+    return QuantTensor(q=spec, s=s_spec)
+
+
+def quantize_pspecs(specs: Dict[str, Any], params) -> Dict[str, Any]:
+    """Rewrite a PartitionSpec pytree to mirror quantized params: every
+    QuantTensor leaf in ``params`` gets a QuantTensor of specs."""
+    from ..ops.qmatmul import QuantTensor
+
+    def walk(spec_node, param_node):
+        if isinstance(param_node, QuantTensor):
+            return _quant_spec(param_node, spec_node)
+        if isinstance(param_node, dict):
+            return {k: walk(spec_node[k], v) for k, v in param_node.items()}
+        return spec_node
+
+    return walk(specs, params)
+
+
 def param_pspecs(config: WhisperConfig) -> Dict[str, Any]:
     """PartitionSpec pytree matching models/params.py's layout."""
     enc_blocks = {
@@ -92,8 +119,9 @@ def param_pspecs(config: WhisperConfig) -> Dict[str, Any]:
 
 
 def shard_params(params, mesh: Mesh, config: WhisperConfig):
-    """Place a parameter pytree onto the mesh with TP shardings."""
-    specs = param_pspecs(config)
+    """Place a parameter pytree onto the mesh with TP shardings
+    (int8-quantized trees included — specs mirror QuantTensor leaves)."""
+    specs = quantize_pspecs(param_pspecs(config), params)
 
     def place(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))

@@ -1,0 +1,149 @@
+"""Int8 weight-only matmul kernel + quantized-decoder plumbing tests.
+
+The reference's analogue is the ggml quantized dot-product kernels
+(ggml-quants.c) exercised only through whole-model runs; here each piece
+gets numeric coverage: quantize/dequantize roundtrip, kernel-vs-fallback
+equality (interpret mode), both weight layouts, odd (non-tile-aligned)
+shapes, and the end-to-end quantized decoder against bf16.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import godot_whisper_tpu as gwt
+from godot_whisper_tpu.models.model import (causal_prompt_mask, cross_kv,
+                                            decoder_forward, encoder_forward,
+                                            init_kv_cache,
+                                            param_compute_dtype)
+from godot_whisper_tpu.models.params import init_params
+from godot_whisper_tpu.models.quant import (is_quantized,
+                                            quantize_decoder_int8)
+from godot_whisper_tpu.ops.qmatmul import (QuantTensor, dequantize,
+                                           quant_matmul, quantize_tensor,
+                                           reduced_axis)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return gwt.get_config("tiny.en").replace(
+        n_audio_layer=2, n_text_layer=2, n_audio_ctx=64, n_text_ctx=32,
+        n_vocab=1024, n_audio_state=128, n_audio_head=4,
+        n_text_state=128, n_text_head=4, name="nano")
+
+
+def test_quantize_roundtrip(rng):
+    w = rng.standard_normal((96, 200)).astype(np.float32)
+    qt = quantize_tensor(jnp.asarray(w), reduce_axis=0)
+    assert qt.q.dtype == jnp.int8 and qt.s.shape == (200,)
+    back = np.asarray(dequantize(qt))
+    # symmetric absmax int8: max error is half a quantization step
+    step = np.abs(w).max(axis=0) / 127.0
+    assert np.all(np.abs(back - w) <= step * 0.5 + 1e-7)
+
+
+def test_reduced_axis(rng):
+    w = rng.standard_normal((4, 96, 200)).astype(np.float32)
+    qt = quantize_tensor(jnp.asarray(w), reduce_axis=1)
+    assert reduced_axis(qt) == 1
+    qt2 = quantize_tensor(jnp.asarray(w[0].T), reduce_axis=1)  # (200, 96)
+    assert reduced_axis(qt2) == 1
+
+
+@pytest.mark.parametrize("layout,wshape", [("io", (96, 200)),
+                                           ("oi", (200, 96))])
+def test_kernel_matches_fallback(rng, layout, wshape):
+    """Pallas interpret mode == the dequant-einsum fallback, including a
+    non-128-aligned output dim (200) and odd row count (5)."""
+    x = jnp.asarray(rng.standard_normal((5, 96)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal(wshape).astype(np.float32))
+    qt = quantize_tensor(w, reduce_axis=0 if layout == "io" else 1)
+    got = np.asarray(quant_matmul(x, qt, layout=layout, interpret=True))
+    want = np.asarray(quant_matmul(x, qt, layout=layout))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_quant_matmul_leading_dims(rng):
+    x = jnp.asarray(rng.standard_normal((2, 3, 64)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
+    qt = quantize_tensor(w, reduce_axis=0)
+    y = quant_matmul(x, qt, layout="io")
+    assert y.shape == (2, 3, 128) and y.dtype == jnp.float32
+
+
+def test_quantize_decoder_tree(cfg):
+    p = init_params(cfg, seed=0)
+    pq = quantize_decoder_int8(p)
+    assert is_quantized(pq) and not is_quantized(p)
+    assert param_compute_dtype(pq) == jnp.bfloat16
+    dec = pq["decoder"]["blocks"]
+    for grp in ("attn", "cross_attn"):
+        for k in ("wq", "wk", "wv", "wo"):
+            assert isinstance(dec[grp][k], QuantTensor)
+            assert dec[grp][k].q.dtype == jnp.int8
+    assert isinstance(pq["decoder"]["token_embed"], QuantTensor)
+    # encoder untouched
+    assert not isinstance(pq["encoder"]["blocks"]["attn"]["wq"], QuantTensor)
+    # idempotent
+    pq2 = quantize_decoder_int8(pq)
+    assert pq2["decoder"]["token_embed"] is pq["decoder"]["token_embed"]
+
+
+def test_quantized_decoder_close_to_f32(cfg, rng):
+    """End-to-end decoder forward with int8 decoder weights stays within
+    int8-quantization tolerance of the f32 forward."""
+    p = init_params(cfg, seed=0, compute_dtype=jnp.float32)
+    pq = quantize_decoder_int8(p)
+    mel = jnp.asarray(rng.standard_normal(
+        (2, 2 * cfg.n_audio_ctx, cfg.n_mels)).astype(np.float32))
+    toks = jnp.asarray(rng.integers(0, cfg.n_vocab, (2, 6)),
+                       dtype=jnp.int32)
+
+    def fwd(params, dtype):
+        enc = encoder_forward(params, cfg, mel)
+        xkv = cross_kv(params, cfg, enc)
+        kv = init_kv_cache(cfg, 2, dtype=dtype)
+        pos = jnp.broadcast_to(jnp.arange(6, dtype=jnp.int32), (2, 6))
+        mask = causal_prompt_mask(cfg, jnp.int32(6), 6, 2)
+        logits, _ = decoder_forward(params, cfg, toks, pos, kv, xkv, mask)
+        return np.asarray(logits)
+
+    a = fwd(p, jnp.float32)
+    b = fwd(pq, param_compute_dtype(pq))
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_quantized_full_pipeline(cfg):
+    """ctx.full runs end-to-end with a quantized synthetic model."""
+    ctx = gwt.WhisperContext.synthetic("tiny.en", seed=0, quantize="int8")
+    samples = np.zeros(16000, dtype=np.float32)
+    tp = gwt.TranscribeParams(best_of=1, temperature_inc=0.0,
+                              print_progress=False, audio_ctx=128)
+    ctx.full(tp, samples)  # must not raise; random weights => any tokens
+
+
+def test_quantized_sharding(cfg):
+    """shard_params places QuantTensor leaves (q int8 tp-sharded, scales
+    sharded on the surviving output axis)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from godot_whisper_tpu.parallel.sharding import make_mesh, shard_params
+    p = quantize_decoder_int8(init_params(cfg, seed=0))
+    mesh = make_mesh(dp=2, tp=4)
+    sp = shard_params(p, mesh, cfg)
+    wq = sp["decoder"]["blocks"]["attn"]["wq"]
+    assert wq.q.dtype == jnp.int8
+    assert wq.q.sharding.spec == jax.sharding.PartitionSpec(
+        None, None, "tp")
+    assert wq.s.sharding.spec == jax.sharding.PartitionSpec(None, "tp")
+    # out-proj is input-sharded; its scales stay replicated
+    wo = sp["decoder"]["blocks"]["attn"]["wo"]
+    assert wo.s.sharding.spec == jax.sharding.PartitionSpec(None, None)
+
+
+def test_unknown_quantize_mode():
+    with pytest.raises(ValueError):
+        gwt.WhisperContext.synthetic("tiny.en", quantize="q4_banana")
