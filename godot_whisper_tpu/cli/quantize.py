@@ -21,6 +21,12 @@ _FMTS = {
     "q4_0": (gg.GGML_TYPE_Q4_0, 2),
     "q4_1": (gg.GGML_TYPE_Q4_1, 3),
     "q8_0": (gg.GGML_TYPE_Q8_0, 7),
+    # K-quant super-block formats (ggml_ftype 10..14)
+    "q2_k": (gg.GGML_TYPE_Q2_K, 10),
+    "q3_k": (gg.GGML_TYPE_Q3_K, 11),
+    "q4_k": (gg.GGML_TYPE_Q4_K, 12),
+    "q5_k": (gg.GGML_TYPE_Q5_K, 13),
+    "q6_k": (gg.GGML_TYPE_Q6_K, 14),
 }
 
 # tensors never quantized (mirror of the quantize example's skip list)
@@ -31,12 +37,13 @@ _SKIP_SUFFIXES = (
 )
 
 
-def should_quantize(name: str, arr: np.ndarray) -> bool:
+def should_quantize(name: str, arr: np.ndarray, ttype: int = None) -> bool:
     if arr.ndim < 2:
         return False
     if any(name.endswith(s) for s in _SKIP_SUFFIXES):
         return False
-    return arr.size % 32 == 0
+    block = 256 if ttype in gg._K_BLOCK_BYTES else 32
+    return arr.size % block == 0
 
 
 def quantize_model(src: str, dst: str, fmt: str) -> dict:
@@ -45,7 +52,7 @@ def quantize_model(src: str, dst: str, fmt: str) -> dict:
     tensors = {}
     n_q = n_keep = 0
     for name, arr in raw.tensors.items():
-        if should_quantize(name, arr):
+        if should_quantize(name, arr, ttype):
             tensors[name] = (arr, ttype)
             n_q += 1
         else:

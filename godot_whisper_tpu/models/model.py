@@ -203,24 +203,11 @@ def quantize_cross_kv(xkv: CrossKV) -> QuantCrossKV:
 
 def mha_cross_quant(q: jax.Array, k_q: jax.Array, k_s: jax.Array,
                     v_q: jax.Array, v_s: jax.Array) -> jax.Array:
-    """Cross attention against int8 KV: int8x int8 MXU contractions with
-    scales folded outside the sums.  q: (B, Tq, H, D)."""
-    dh = q.shape[-1]
-    qf = q.astype(jnp.float32)
-    sq = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) / 127.0  # (B,Tq,H,1)
-    q_i8 = jnp.clip(jnp.round(qf / jnp.maximum(sq, 1e-9)),
-                    -127, 127).astype(jnp.int8)
-    s = jnp.einsum("bqhd,bkhd->bhqk", q_i8, k_q,
-                   preferred_element_type=jnp.int32).astype(jnp.float32)
-    s = s * sq.transpose(0, 2, 1, 3)                # (B,H,Tq,1)
-    s = s * k_s.transpose(0, 2, 1)[:, :, None, :]   # (B,H,1,Tk)
-    s = s * jnp.float32(1.0 / (dh ** 0.5))
-    p = jax.nn.softmax(s, axis=-1)
-    p_i8 = jnp.round(p * 127.0).astype(jnp.int8)
-    o = jnp.einsum("bhqk,bkhd->bqhd", p_i8, v_q,
-                   preferred_element_type=jnp.int32).astype(jnp.float32)
-    o = o * (1.0 / 127.0) * v_s[:, None, :, None]   # (B,1,H,1)
-    return o
+    """Cross attention against int8 KV: Pallas kernel with in-VMEM dequant
+    on TPU (ops/cross_attention.py), float dequant einsum elsewhere.
+    q: (B, Tq, H, D)."""
+    from ..ops.cross_attention import cross_attention_quant
+    return cross_attention_quant(q, k_q, k_s, v_q, v_s)
 
 
 def cross_kv(params: Params, config: WhisperConfig,

@@ -101,3 +101,110 @@ def test_dequant_q8_roundtrip():
         raw += d[bi].astype("<f2").tobytes() + q[bi].tobytes()
     out = loader_ggml._dequant(loader_ggml.GGML_TYPE_Q8_0, raw, 64)
     np.testing.assert_allclose(out, x, atol=2e-2)
+
+
+# ------------------------------------------------------------------ K-quants
+# Super-block (QK_K=256) formats: round-trip through our encoder must
+# reconstruct within each format's bit budget, and hand-built blocks pin the
+# reference bit layout (ggml-quants.h:72-158 / dequantize_row_q*_K).
+
+# tolerance = relative RMSE budget of the bit width (uniform-quantizer
+# noise step/sqrt(12) for our single-pass encoder; the reference's
+# iterative scale search lands ~20-30% lower but identical formats)
+_K_TYPES = {
+    "q2_k": (loader_ggml.GGML_TYPE_Q2_K, 0.40),
+    "q3_k": (loader_ggml.GGML_TYPE_Q3_K, 0.22),
+    "q4_k": (loader_ggml.GGML_TYPE_Q4_K, 0.10),
+    "q5_k": (loader_ggml.GGML_TYPE_Q5_K, 0.05),
+    "q6_k": (loader_ggml.GGML_TYPE_Q6_K, 0.03),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_K_TYPES))
+def test_kquant_roundtrip(name):
+    ttype, tol = _K_TYPES[name]
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(2 * 256).astype(np.float32)
+    raw = loader_ggml.quantize_blocks(ttype, x)
+    assert len(raw) == loader_ggml._type_nbytes(ttype, x.size)
+    out = loader_ggml._dequant(ttype, raw, x.size)
+    rms = np.sqrt(np.mean((out - x) ** 2)) / np.sqrt(np.mean(x ** 2))
+    assert rms < tol, f"{name} relative RMSE {rms:.4f} >= {tol}"
+
+
+def test_kquant_q6k_bit_layout():
+    """Hand-built q6_K super-block: one known quant per region pins the
+    (ql low/high nibble, qh 2-bit plane, 16-wide scale) layout."""
+    blk = np.zeros(210, dtype=np.uint8)
+    # element 0 (half 0, sub 0, lane 0): ql[0] low nibble + qh[0] bits 0-1
+    blk[0] = 0x5            # low nibble -> q = 5
+    blk[128] = 0b01         # qh bit 0 -> q += 16 -> 21; dequant -32 -> -11
+    # scales[0] = 2 (int8), d = 0.5
+    blk[192] = 2
+    blk[208:210] = np.frombuffer(np.float16(0.5).tobytes(), dtype=np.uint8)
+    out = loader_ggml._dequant(loader_ggml.GGML_TYPE_Q6_K, blk.tobytes(), 256)
+    assert out[0] == 0.5 * 2 * (21 - 32)
+    # element 64 (half 0, sub 2, lane 0) reads ql[0] HIGH nibble and qh
+    # bits 4-5; scale index = sub*2 + lane//16 = 4 -> scales[4] = 0 here
+    assert out[64] == 0.0
+
+
+def test_kquant_q2k_bit_layout():
+    """Hand-built q2_K super-block pins the (2-bit plane, 16-wide scale
+    group, packed scale/min nibble) layout."""
+    blk = np.zeros(84, dtype=np.uint8)
+    blk[16] = 0b10          # qs[0]: element 0 (plane 0) -> q = 2
+    blk[0] = 0x21           # scales[0]: sc = 1, mn = 2
+    blk[80:82] = np.frombuffer(np.float16(1.0).tobytes(), dtype=np.uint8)
+    blk[82:84] = np.frombuffer(np.float16(0.5).tobytes(), dtype=np.uint8)
+    out = loader_ggml._dequant(loader_ggml.GGML_TYPE_Q2_K, blk.tobytes(), 256)
+    assert out[0] == 1.0 * 1 * 2 - 0.5 * 2            # d*sc*q - dmin*mn
+    # element 32 = plane 1 of qs[0]: (0b10 >> 2) & 3 = 0; its scale group
+    # (32//16 = 2) has sc = mn = 0 -> exactly 0
+    assert out[32] == 0.0
+    # element 16 shares plane 0, lane 16 -> qs[16] = 0 but group 1 scales
+    assert out[16] == 0.0
+
+
+def test_kquant_q4k_scale_packing():
+    """q4_K: groups >= 4 pull their 6-bit scale/min from the split bytes
+    (get_scale_min_k4 j>=4 branch)."""
+    rng = np.random.default_rng(12)
+    x = (rng.standard_normal(256).astype(np.float32)
+         * np.repeat(np.linspace(0.1, 3.0, 8), 32).astype(np.float32))
+    raw = loader_ggml.quantize_blocks(loader_ggml.GGML_TYPE_Q4_K, x)
+    out = loader_ggml._dequant(loader_ggml.GGML_TYPE_Q4_K, raw, 256)
+    # per-group error must stay bounded for BOTH scale-packing branches
+    err = np.abs(out - x).reshape(8, 32).max(axis=1)
+    amp = np.abs(x).reshape(8, 32).max(axis=1)
+    assert (err < 0.15 * amp + 1e-3).all()
+
+
+def test_kquant_checkpoint_roundtrip(tmp_path):
+    """Quantize a synthetic checkpoint to q5_k and read it back through
+    the normal loader path."""
+    import jax.numpy as jnp
+    from godot_whisper_tpu.audio.mel import mel_filterbank
+    from godot_whisper_tpu.audio.tokenizer import synthetic_vocab
+    from godot_whisper_tpu.cli.quantize import quantize_model
+    from godot_whisper_tpu.models.export_ggml import export_checkpoint
+
+    cfg = get_config("tiny.en").replace(
+        n_audio_layer=2, n_text_layer=2, n_audio_state=64, n_audio_head=2,
+        n_text_state=64, n_text_head=2, n_audio_ctx=64, n_text_ctx=32,
+        n_vocab=1024, name="nano")
+    params = init_params(cfg, seed=0, compute_dtype=jnp.float32)
+    src = str(tmp_path / "nano-f32.bin")
+    dst = str(tmp_path / "nano-q5k.bin")
+    export_checkpoint(src, params, cfg, mel_filterbank(80),
+                      synthetic_vocab(cfg),
+                      ttype=loader_ggml.GGML_TYPE_F32)
+    stats = quantize_model(src, dst, "q5_k")
+    assert stats["quantized"] > 0
+    raw = loader_ggml.read_checkpoint(dst)
+    assert raw.n_loaded > 50
+    name = "decoder.blocks.0.mlp.0.weight"
+    a = raw.tensors[name]
+    orig = loader_ggml.read_checkpoint(src).tensors[name]
+    rel = np.abs(a - orig).mean() / np.abs(orig).mean()
+    assert rel < 0.05

@@ -62,3 +62,61 @@ def test_einsum_fallback_on_cpu():
     out = attention.flash_attention(x, x, x)
     assert out.shape == x.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------- cross-attn int8 --
+def _xattn_oracle(q, k_q, k_s, v_q, v_s):
+    """Float oracle: dequantize KV, dense attention (f64 softmax)."""
+    D = q.shape[-1]
+    kf = k_q.astype(np.float64) * k_s[..., None]
+    vf = v_q.astype(np.float64) * v_s[:, None, :, None]
+    s = np.einsum("bqhd,bkhd->bhqk", q.astype(np.float64), kf) / np.sqrt(D)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bkhd->bqhd", p, vf)
+
+
+def _make_quant_kv(rng, B, Tk, H, D):
+    kf = rng.standard_normal((B, Tk, H, D)).astype(np.float32)
+    vf = rng.standard_normal((B, Tk, H, D)).astype(np.float32)
+    k_s = np.abs(kf).max(-1) / 127.0 + 1e-9
+    k_q = np.clip(np.round(kf / k_s[..., None]), -127, 127).astype(np.int8)
+    v_s = np.abs(vf).max(axis=(1, 3)) / 127.0 + 1e-9
+    v_q = np.clip(np.round(vf / v_s[:, None, :, None]),
+                  -127, 127).astype(np.int8)
+    return k_q, k_s.astype(np.float32), v_q, v_s.astype(np.float32)
+
+
+def test_cross_attention_quant_kernel(interpret_mode):
+    """Pallas int8 cross-attention (interpret) vs the float oracle,
+    Tk not a block multiple (masked tail)."""
+    from godot_whisper_tpu.ops import cross_attention
+
+    rng = np.random.default_rng(7)
+    B, Tq, Tk, H, D = 2, 3, 300, 2, 64
+    q = rng.standard_normal((B, Tq, H, D)).astype(np.float32)
+    k_q, k_s, v_q, v_s = _make_quant_kv(rng, B, Tk, H, D)
+
+    got = np.asarray(cross_attention.cross_attention_quant(
+        jnp.asarray(q), jnp.asarray(k_q), jnp.asarray(k_s),
+        jnp.asarray(v_q), jnp.asarray(v_s), interpret=True))
+    want = _xattn_oracle(q, k_q, k_s, v_q, v_s)
+    # bf16 q + f32 accumulate vs f64 oracle
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+    cross_attention._xattn_quant.clear_cache()
+
+
+def test_cross_attention_quant_fallback_matches_oracle():
+    """CPU fallback path (float dequant einsum) vs the oracle."""
+    from godot_whisper_tpu.ops import cross_attention
+
+    rng = np.random.default_rng(8)
+    B, Tq, Tk, H, D = 1, 1, 64, 3, 32
+    q = rng.standard_normal((B, Tq, H, D)).astype(np.float32)
+    k_q, k_s, v_q, v_s = _make_quant_kv(rng, B, Tk, H, D)
+
+    got = np.asarray(cross_attention.cross_attention_quant(
+        jnp.asarray(q), jnp.asarray(k_q), jnp.asarray(k_s),
+        jnp.asarray(v_q), jnp.asarray(v_s)))
+    want = _xattn_oracle(q, k_q, k_s, v_q, v_s)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
