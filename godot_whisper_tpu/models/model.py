@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from .config import WhisperConfig
-from ..ops.qmatmul import QuantTensor, quant_matmul
+from ..ops.qmatmul import (QuantTensor, Quant4Tensor, quant_matmul,
+                           quant_matmul4)
 
 Params = Dict[str, Any]
 
@@ -91,10 +92,11 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
 
 def _proj(x: jax.Array, w, b: Optional[jax.Array] = None,
           out_dtype=None) -> jax.Array:
-    if isinstance(w, QuantTensor):
-        # int8 weight path: HBM reads halve, dequant happens in VMEM
-        # inside the Pallas kernel (ops/qmatmul.py)
-        y = quant_matmul(x, w, layout="io")
+    if isinstance(w, (QuantTensor, Quant4Tensor)):
+        # int8/int4 weight path: HBM reads shrink 2x/4x, dequant happens
+        # in VMEM inside the Pallas kernels (ops/qmatmul.py)
+        y = (quant_matmul(x, w, layout="io") if isinstance(w, QuantTensor)
+             else quant_matmul4(x, w))
         if b is not None:
             y = y + b
         return y.astype(out_dtype if out_dtype is not None

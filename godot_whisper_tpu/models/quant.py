@@ -21,7 +21,8 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
-from ..ops.qmatmul import QuantTensor, quantize_tensor
+from ..ops.qmatmul import (QuantTensor, Quant4Tensor, quantize_tensor,
+                           quantize_tensor4)
 
 Params = Dict[str, Any]
 
@@ -47,6 +48,43 @@ def quantize_decoder_int8(params: Params) -> Params:
     te = dec["token_embed"]
     if not isinstance(te, QuantTensor):
         te = quantize_tensor(te, reduce_axis=1)  # (V, S): per-row scales
+
+    new_dec = dict(dec)
+    new_dec["blocks"] = new_blocks
+    new_dec["token_embed"] = te
+    return {"encoder": params["encoder"], "decoder": new_dec}
+
+
+def quantize_decoder_int4(params: Params, *, group: int = 128) -> Params:
+    """Int4 (W4A16) decoder weights — the role of ggml's q4_0 format
+    (whisper.cpp ships q4 as its flagship quantization;
+    ggml-quants.c dot kernels dequantize 32-element blocks in-register).
+    Here: ``group``-row scales along the contraction axis, nibble-packed
+    buffers unpacked in VMEM (ops/qmatmul.py Quant4Tensor) — quarter the
+    decode HBM weight traffic of bf16.
+
+    The token embedding stays int8 (per-vocab-row scales): it serves the
+    embedding gather AND the logits contraction, where 4-bit per-row error
+    lands directly on the token distribution.  Idempotent."""
+    dec = params["decoder"]
+    new_blocks: Dict[str, Any] = {}
+    for grp, sub in dec["blocks"].items():
+        new_sub = {}
+        for k, v in sub.items():
+            if (k in _BLOCK_WEIGHT_KEYS
+                    and not isinstance(v, (QuantTensor, Quant4Tensor))):
+                s_in = v.shape[-2]
+                if s_in % group == 0:
+                    new_sub[k] = quantize_tensor4(v, group=group)
+                else:  # non-divisible contraction dim: keep int8
+                    new_sub[k] = quantize_tensor(v, reduce_axis=1)
+            else:
+                new_sub[k] = v
+        new_blocks[grp] = new_sub
+
+    te = dec["token_embed"]
+    if not isinstance(te, QuantTensor):
+        te = quantize_tensor(te, reduce_axis=1)
 
     new_dec = dict(dec)
     new_dec["blocks"] = new_blocks

@@ -88,6 +88,135 @@ def dequantize(qt: QuantTensor) -> jax.Array:
         qt.s, reduced_axis(qt))
 
 
+# ============================================================ int4 (W4A16) ==
+class Quant4Tensor(NamedTuple):
+    """Group-wise symmetric int4 tensor for the ``io`` projection layout —
+    the TPU-native analogue of ggml's flagship q4_0 role
+    (/root/reference/thirdparty/whisper.cpp/ggml-quants.c: 32-element
+    blocks with one scale, dequantized inside the dot kernels).
+
+    Logical weight (..., S, O).  Two 4-bit values pack per byte along the
+    contraction axis S at GROUP granularity: within group ``g`` (rows
+    ``gG..gG+G``), byte row ``r`` holds original row ``gG+r`` in the low
+    nibble and ``gG+G/2+r`` in the high nibble, so per-group unpacking is a
+    nibble split + concat — no lane interleave on the TPU.  Values are
+    stored biased (+8) in [0, 15].
+
+    q: (..., S/2, O) uint8 packed;  s: (..., S/G, O) float32 group scales.
+    A pytree: stacks under ``lax.scan``, shards under pjit (q and s ranks
+    match the logical weight, so PartitionSpecs mirror 1:1).
+    """
+
+    q: jax.Array
+    s: jax.Array
+
+    @property
+    def group(self) -> int:
+        return 2 * self.q.shape[-2] // self.s.shape[-2]
+
+    @property
+    def shape(self):
+        return (*self.q.shape[:-2], 2 * self.q.shape[-2], self.q.shape[-1])
+
+    @property
+    def dtype(self):
+        return jnp.float32
+
+
+def quantize_tensor4(w: jax.Array, *, group: int = 128) -> Quant4Tensor:
+    """Symmetric absmax int4 over groups of ``group`` rows of the
+    contraction axis (axis -2 of an (..., S, O) weight)."""
+    wf = jnp.asarray(w).astype(jnp.float32)
+    *lead, S, O = wf.shape
+    assert S % group == 0 and group % 2 == 0, (S, group)
+    g = wf.reshape(*lead, S // group, group, O)
+    absmax = jnp.max(jnp.abs(g), axis=-2)                    # (..., S/G, O)
+    s = jnp.maximum(absmax / 7.0, 1e-12)
+    q = jnp.clip(jnp.round(g / s[..., None, :]), -8, 7).astype(jnp.int32) + 8
+    lo, hi = q[..., :group // 2, :], q[..., group // 2:, :]
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
+    return Quant4Tensor(q=packed.reshape(*lead, S // 2, O), s=s)
+
+
+def dequantize4(qt: Quant4Tensor) -> jax.Array:
+    *lead, S2, O = qt.q.shape
+    n_g = qt.s.shape[-2]
+    group = 2 * S2 // n_g
+    p = qt.q.reshape(*lead, n_g, group // 2, O).astype(jnp.int32)
+    q = jnp.concatenate([p & 0xF, p >> 4], axis=-2) - 8      # (...,n_g,G,O)
+    w = q.astype(jnp.float32) * qt.s[..., None, :]
+    return w.reshape(*lead, 2 * S2, O)
+
+
+def _q4mm_kernel(x_ref, w_ref, s_ref, o_ref, *, group: int, n_g: int):
+    """One (row-block, col-block) program: per group, split nibbles +
+    rebias in VMEM, contract the G-row slab on the MXU (G=128 fills the
+    systolic array's K dimension), scale the partial product."""
+    x = x_ref[...]
+    bb, _ = x.shape
+    bo = o_ref.shape[-1]
+
+    def body(g, acc):
+        wp = w_ref[pl.ds(g * (group // 2), group // 2), :].astype(jnp.int32)
+        w = jnp.concatenate([wp & 0xF, wp >> 4], axis=0) - 8  # (G, BO)
+        xg = lax.dynamic_slice_in_dim(x, g * group, group, 1)
+        p = lax.dot_general(xg, w.astype(x.dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        return acc + p * s_ref[pl.ds(g, 1), :]                # (1,BO) bcast
+
+    acc = jnp.zeros((bb, bo), jnp.float32)
+    o_ref[...] = lax.fori_loop(0, n_g, body, acc)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+def _q4mm_2d(x: jax.Array, q: jax.Array, s: jax.Array, *, group: int,
+             interpret: bool = False) -> jax.Array:
+    B, S = x.shape
+    O = q.shape[-1]
+    n_g = S // group
+    BO = _pick_bo(S // 2, O)
+    BB = _pick_bb(B)
+    grid = (pl.cdiv(B, BB), pl.cdiv(O, BO))
+    return pl.pallas_call(
+        functools.partial(_q4mm_kernel, group=group, n_g=n_g),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BB, S), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S // 2, BO), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_g, BO), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BB, BO), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, O), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * S * O,
+            bytes_accessed=B * S * 2 + S * O // 2 + n_g * O * 4 + B * O * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, q, s)
+
+
+def quant_matmul4(x: jax.Array, qt: Quant4Tensor, *,
+                  interpret: bool = False) -> jax.Array:
+    """``x (..., S) @ Quant4Tensor (S, O) -> (..., O) float32`` — quarter
+    the HBM weight traffic of bf16.  Pallas in-VMEM unpack+dequant on TPU;
+    dequant-einsum fallback elsewhere (same numerics)."""
+    *lead, S = x.shape
+    O = qt.q.shape[-1]
+    xb = x.astype(jnp.bfloat16).reshape(-1, S)
+    if use_pallas() or interpret:
+        y = _q4mm_2d(xb, qt.q, qt.s, group=qt.group, interpret=interpret)
+    else:
+        w = dequantize4(qt).astype(jnp.bfloat16)
+        y = lax.dot_general(xb, w, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return y.reshape(*lead, O)
+
+
 # ================================================================== kernel ==
 def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, *, oi: bool):
     """One (row-block, col-block) program: upcast the int8 weight block in
