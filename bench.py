@@ -53,9 +53,8 @@ def main() -> None:
         from godot_whisper_tpu.decode.loop import WhisperPipeline
         raw = read_checkpoint(stub)
         params = init_params(raw.config, seed=0)
-        if quantize:
-            from godot_whisper_tpu.models.quant import quantize_decoder_int8
-            params = quantize_decoder_int8(params)
+        if quantize:  # "int8" / "int4" (BENCH_QUANTIZE)
+            params = gwt.WhisperContext._quantize(params, quantize)
         tokenizer = Tokenizer(raw.config, raw.vocab_tokens)
         pipe = WhisperPipeline(raw.config, params, tokenizer,
                                raw.mel_filters, n_loaded=1)

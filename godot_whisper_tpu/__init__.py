@@ -85,8 +85,11 @@ class WhisperContext:
         if quantize in ("int8", "q8", "q8_0"):
             from .models.quant import quantize_decoder_int8
             return quantize_decoder_int8(params)
+        if quantize in ("int4", "q4", "q4_0"):
+            from .models.quant import quantize_decoder_int4
+            return quantize_decoder_int4(params)
         raise ValueError(f"unknown quantize mode {quantize!r} "
-                         "(supported: 'int8')")
+                         "(supported: 'int8', 'int4')")
 
     @classmethod
     def _from_raw(cls, raw, compute_dtype=None,

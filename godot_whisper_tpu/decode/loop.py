@@ -155,7 +155,10 @@ class WhisperPipeline:
             i1 = min(seek + 2 * n_ctx, mel.shape[1])
             window[:i1 - i0] = mel[:, i0:i1].T
             enc, xkv = self._encode_fn(n_ctx)(self.params, window[None])
-        jax.block_until_ready(xkv[0])
+        # Deliberately NOT synced: the encode pipelines into the decode
+        # dispatch. A sync here costs a full relay round-trip per window
+        # (~25 ms on tunneled runtimes); t_encode_us records enqueue time
+        # and the device time lands in t_decode_us.
         tspan.__exit__(None, None, None)
         self.timings.t_encode_us += int((time.perf_counter() - t0) * 1e6)
         self.timings.n_encode += 1
@@ -185,7 +188,8 @@ class WhisperPipeline:
         tspan.__enter__()
         self._samples = np.asarray(samples, dtype=np.float32)
         self._mel_device, self._mel_n_len = self.mel.device(samples)
-        jax.block_until_ready(self._mel_device)
+        # Not synced: the mel transfer + compute overlap the first encode
+        # dispatch (t_mel_us is enqueue time; see encode_window note).
         self._mel_data = None  # host copy materialized lazily
         _, self._n_len_org = frame_counts(len(samples))
         tspan.__exit__(None, None, None)

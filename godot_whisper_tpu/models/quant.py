@@ -68,6 +68,7 @@ def quantize_decoder_int4(params: Params, *, group: int = 128) -> Params:
     lands directly on the token distribution.  Idempotent."""
     dec = params["decoder"]
     new_blocks: Dict[str, Any] = {}
+    int8_fallbacks = []
     for grp, sub in dec["blocks"].items():
         new_sub = {}
         for k, v in sub.items():
@@ -78,9 +79,15 @@ def quantize_decoder_int4(params: Params, *, group: int = 128) -> Params:
                     new_sub[k] = quantize_tensor4(v, group=group)
                 else:  # non-divisible contraction dim: keep int8
                     new_sub[k] = quantize_tensor(v, reduce_axis=1)
+                    int8_fallbacks.append(f"{grp}.{k}")
             else:
                 new_sub[k] = v
         new_blocks[grp] = new_sub
+    if int8_fallbacks:
+        from ..runtime.logging import log_warn
+        log_warn("quantize_decoder_int4: contraction dim not divisible by "
+                 f"group={group} for {int8_fallbacks}; those weights kept "
+                 "int8 (check quant_mode() for the landed precision)")
 
     te = dec["token_embed"]
     if not isinstance(te, QuantTensor):
@@ -94,3 +101,25 @@ def quantize_decoder_int4(params: Params, *, group: int = 128) -> Params:
 
 def is_quantized(params: Params) -> bool:
     return isinstance(params["decoder"]["token_embed"], QuantTensor)
+
+
+def quant_mode(params: Params) -> Dict[str, str]:
+    """Which precision actually landed, per decoder weight key.
+
+    Returns {"blocks.<group>.<key>": "int4" | "int8" | "bf16"/..., and
+    "token_embed": ...} so benches and tests can assert the intended
+    precision took effect (quantize_decoder_int4 silently keeps int8 for
+    weights whose contraction dim does not divide the group size)."""
+    def kind(v) -> str:
+        if isinstance(v, Quant4Tensor):
+            return "int4"
+        if isinstance(v, QuantTensor):
+            return "int8"
+        return str(v.dtype)
+
+    out = {"token_embed": kind(params["decoder"]["token_embed"])}
+    for grp, sub in params["decoder"]["blocks"].items():
+        for k, v in sub.items():
+            if k in _BLOCK_WEIGHT_KEYS:
+                out[f"blocks.{grp}.{k}"] = kind(v)
+    return out

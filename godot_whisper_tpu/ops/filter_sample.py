@@ -34,6 +34,7 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 _NEG = -1e30  # plain python float: jnp scalars become captured consts
+_ROW_BLOCK = 8  # beam rows per program: (8, ~52k) f32 block ~= 1.7 MB VMEM
 
 
 class SampleOut(NamedTuple):
@@ -49,9 +50,16 @@ def _kernel(state_ref, temp_ref, seed_ref, logits_ref, suppress_ref,
             tok_ref, p_ref, plog_ref, pt_ref, ptsum_ref, tid_ref,
             *, B: int, V: int, Vpad: int, eot: int, beg: int,
             space_id: int, max_initial_tid: int, suppress_blank: bool,
-            no_timestamps: bool, argmax_sample: bool):
+            no_timestamps: bool, argmax_sample):
+    """One program handles a block of B beam rows (the grid tiles the full
+    batch into row blocks so VMEM stays bounded at any stream count).
+
+    ``argmax_sample``: True/False specializes the kernel statically; None
+    reads the mode from state col 6 at runtime — the in-jit temperature
+    ladder flips argmax (t=0) to Gumbel sampling (t>0) mid-loop."""
     # per-beam scalar state, broadcast to columns:
-    # state cols: [is_initial, last, penult, n_tokens, has_ts, seek_delta]
+    # state cols: [is_initial, last, penult, n_tokens, has_ts, seek_delta,
+    #              argmax_flag]
     def col(j):
         return jnp.stack([state_ref[b, j] for b in range(B)]
                          ).reshape(B, 1)
@@ -68,7 +76,7 @@ def _kernel(state_ref, temp_ref, seed_ref, logits_ref, suppress_ref,
     l = jnp.where(temp > 0, l / jnp.maximum(temp, 1e-8), l)
     ids = lax.broadcasted_iota(jnp.int32, (B, Vpad), 1)
 
-    sup = suppress_ref[...] != 0                     # (B, Vpad)
+    sup = suppress_ref[...] != 0                     # (1, Vpad) — shared row
     sup = sup | (ids >= V)
     if suppress_blank:
         sup = sup | (is_initial & ((ids == eot) | (ids == space_id)))
@@ -103,10 +111,10 @@ def _kernel(state_ref, temp_ref, seed_ref, logits_ref, suppress_ref,
 
     probs = jnp.where(lp > _NEG * 0.5, jnp.exp(lp), 0.0)
 
-    if argmax_sample:
+    if argmax_sample is True:
         choice_scores = probs
     else:
-        pltpu.prng_seed(seed_ref[0, 0])
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
         bits = pltpu.prng_random_bits((B, Vpad))
         # mosaic lacks uint32->f32 casts: go through int32 with the top
         # bits masked off (24-bit uniform is plenty for Gumbel sampling)
@@ -114,6 +122,8 @@ def _kernel(state_ref, temp_ref, seed_ref, logits_ref, suppress_ref,
         u = bits24.astype(jnp.float32) * (1.0 / (1 << 24))
         gumbel = -jnp.log(-jnp.log(jnp.maximum(u, 1e-12)))
         choice_scores = jnp.where(lp > _NEG * 0.5, lp + gumbel, _NEG)
+        if argmax_sample is None:  # runtime mode from state col 6
+            choice_scores = jnp.where(col(6) != 0, probs, choice_scores)
 
     tok = jnp.argmax(choice_scores, axis=1).astype(jnp.int32)  # (B,)
 
@@ -148,18 +158,26 @@ def fused_filter_sample(
     n_tokens: jax.Array, has_ts: jax.Array, seek_delta: jax.Array,
     temperature: jax.Array, seeds: jax.Array,
     eot: int, beg: int, space_id: int, max_initial_tid: int,
-    suppress_blank: bool, no_timestamps: bool, argmax_sample: bool,
+    suppress_blank: bool, no_timestamps: bool, argmax_sample,
+    argmax_flag: jax.Array | None = None,
 ) -> SampleOut:
-    """One fused kernel call: filters + log-softmax + rules + sample."""
+    """One fused kernel call: filters + log-softmax + rules + sample.
+
+    The batch axis is tiled into row blocks of ``_ROW_BLOCK`` so each
+    program's VMEM footprint stays ~2 MB regardless of the stream count
+    (a single (B, V) block OOMs VMEM at B >= 16 with V ~ 52k)."""
     B, V = logits.shape
     Vpad = -(-V // 512) * 512
+    BB = min(B, _ROW_BLOCK)
+    Bpad = -(-B // BB) * BB
 
-    logits_p = jnp.pad(logits, ((0, 0), (0, Vpad - V)),
+    logits_p = jnp.pad(logits, ((0, Bpad - B), (0, Vpad - V)),
                        constant_values=-1e30)
     sup_p = jnp.pad(suppress_mask.astype(jnp.int32), (0, Vpad - V),
-                    constant_values=1)
-    sup_p = jnp.broadcast_to(sup_p[None], (B, Vpad))
+                    constant_values=1)[None]          # (1, Vpad) shared row
 
+    if argmax_flag is None:
+        argmax_flag = jnp.zeros((B,), jnp.int32)
     state = jnp.stack([
         is_initial.astype(jnp.int32),
         last_token.astype(jnp.int32),
@@ -167,37 +185,47 @@ def fused_filter_sample(
         n_tokens.astype(jnp.int32),
         has_ts.astype(jnp.int32),
         seek_delta.astype(jnp.int32),
-    ], axis=1)  # (B, 6)
+        jnp.broadcast_to(jnp.asarray(argmax_flag, jnp.int32)
+                         .reshape(-1), (B,)),
+    ], axis=1)  # (B, 7)
+    state = jnp.pad(state, ((0, Bpad - B), (0, 0)))
     temps = jnp.float32(temperature).reshape(1, 1)
     seeds2 = seeds.reshape(-1)[:1].reshape(1, 1).astype(jnp.int32)
 
     kernel = functools.partial(
-        _kernel, B=B, V=V, Vpad=Vpad, eot=eot, beg=beg, space_id=space_id,
+        _kernel, B=BB, V=V, Vpad=Vpad, eot=eot, beg=beg, space_id=space_id,
         max_initial_tid=max_initial_tid, suppress_blank=suppress_blank,
         no_timestamps=no_timestamps, argmax_sample=argmax_sample)
 
     outs = pl.pallas_call(
         kernel,
+        grid=(Bpad // BB,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # state (B, 6)
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # temps (1, 1)
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # seed (1, 1)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # logits (B, Vpad)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # suppress (B, Vpad)
+            pl.BlockSpec((BB, 7), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),    # state
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),    # temp
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),    # seed
+            pl.BlockSpec((BB, Vpad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),    # logits
+            pl.BlockSpec((1, Vpad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),    # suppress (shared)
         ],
         out_specs=tuple(
-            pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(6)),
+            pl.BlockSpec((BB, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM) for _ in range(6)),
         out_shape=(
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Bpad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Bpad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Bpad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Bpad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Bpad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Bpad, 1), jnp.int32),
         ),
         interpret=os.environ.get("GWT_PALLAS_INTERPRET") == "1",
     )(state, temps, seeds2, logits_p, sup_p)
 
     tok, p, plog, pt, ptsum, tid = outs
-    return SampleOut(token=tok[:, 0], p=p[:, 0], plog=plog[:, 0],
-                     pt=pt[:, 0], ptsum=ptsum[:, 0], tid=tid[:, 0])
+    return SampleOut(token=tok[:B, 0], p=p[:B, 0], plog=plog[:B, 0],
+                     pt=pt[:B, 0], ptsum=ptsum[:B, 0], tid=tid[:B, 0])

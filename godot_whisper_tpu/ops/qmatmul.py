@@ -204,16 +204,27 @@ def quant_matmul4(x: jax.Array, qt: Quant4Tensor, *,
                   interpret: bool = False) -> jax.Array:
     """``x (..., S) @ Quant4Tensor (S, O) -> (..., O) float32`` — quarter
     the HBM weight traffic of bf16.  Pallas in-VMEM unpack+dequant on TPU;
-    dequant-einsum fallback elsewhere (same numerics)."""
+    elsewhere a per-group einsum with identical numerics to the kernel
+    (bf16 INTEGER weight values into the dot, f32 group scales applied to
+    the f32 partial products — never a bf16 round of q*s)."""
     *lead, S = x.shape
     O = qt.q.shape[-1]
     xb = x.astype(jnp.bfloat16).reshape(-1, S)
     if use_pallas() or interpret:
         y = _q4mm_2d(xb, qt.q, qt.s, group=qt.group, interpret=interpret)
     else:
-        w = dequantize4(qt).astype(jnp.bfloat16)
-        y = lax.dot_general(xb, w, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+        group = qt.group
+        n_g = S // group
+        p = qt.q.reshape(n_g, group // 2, O).astype(jnp.int32)
+        w = jnp.concatenate([p & 0xF, p >> 4], axis=1) - 8   # (n_g, G, O)
+        # f32 dot over bf16-rounded x and exact integer weights: bit-equal
+        # to the kernel's bf16xbf16->f32 MXU contraction (bf16 values are
+        # exact in f32), and CPU backends lack a bf16 batched-dot thunk
+        part = jnp.einsum("bgk,gko->bgo",
+                          xb.astype(jnp.float32).reshape(-1, n_g, group),
+                          w.astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+        y = jnp.sum(part * qt.s[None], axis=1)               # f32 scales
     return y.reshape(*lead, O)
 
 

@@ -75,14 +75,41 @@ def _quant_spec(qt, spec: P) -> Any:
     return QuantTensor(q=spec, s=s_spec)
 
 
-def quantize_pspecs(specs: Dict[str, Any], params) -> Dict[str, Any]:
+def _quant4_spec(qt, spec: P, mesh: Optional[Mesh]) -> Any:
+    """Mirror a weight PartitionSpec onto a Quant4Tensor leaf.
+
+    Both ``q`` (..., S/2-packed, O) and ``s`` (..., S/groups, O) keep the
+    logical weight's rank, so the weight spec applies verbatim to ``q``
+    (nibble pairs never cross a group, so packed rows stay shard-local).
+    For contraction-sharded weights (wo/w1: axis S on "tp") the scales are
+    only tp-sharded when each shard holds WHOLE quantization groups
+    (S/group divisible by the tp size); otherwise the group axis of ``s``
+    is replicated — scales are tiny, so the cost is nil.
+    """
+    from ..ops.qmatmul import Quant4Tensor
+    s_axes = list(tuple(spec) + (None,) * (qt.s.ndim - len(tuple(spec))))
+    group_axis = qt.s.ndim - 2
+    ax = s_axes[group_axis]
+    if ax is not None and mesh is not None:
+        n_shards = int(np.prod([mesh.shape[a] for a in
+                                ((ax,) if isinstance(ax, str) else ax)]))
+        if qt.s.shape[group_axis] % n_shards != 0:
+            s_axes[group_axis] = None
+    return Quant4Tensor(q=spec, s=P(*s_axes))
+
+
+def quantize_pspecs(specs: Dict[str, Any], params,
+                    mesh: Optional[Mesh] = None) -> Dict[str, Any]:
     """Rewrite a PartitionSpec pytree to mirror quantized params: every
-    QuantTensor leaf in ``params`` gets a QuantTensor of specs."""
-    from ..ops.qmatmul import QuantTensor
+    QuantTensor/Quant4Tensor leaf in ``params`` gets a matching pytree of
+    specs."""
+    from ..ops.qmatmul import QuantTensor, Quant4Tensor
 
     def walk(spec_node, param_node):
         if isinstance(param_node, QuantTensor):
             return _quant_spec(param_node, spec_node)
+        if isinstance(param_node, Quant4Tensor):
+            return _quant4_spec(param_node, spec_node, mesh)
         if isinstance(param_node, dict):
             return {k: walk(spec_node[k], v) for k, v in param_node.items()}
         return spec_node
@@ -120,8 +147,8 @@ def param_pspecs(config: WhisperConfig) -> Dict[str, Any]:
 
 def shard_params(params, mesh: Mesh, config: WhisperConfig):
     """Place a parameter pytree onto the mesh with TP shardings
-    (int8-quantized trees included — specs mirror QuantTensor leaves)."""
-    specs = quantize_pspecs(param_pspecs(config), params)
+    (int8/int4-quantized trees included — specs mirror Quant leaves)."""
+    specs = quantize_pspecs(param_pspecs(config), params, mesh)
 
     def place(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))

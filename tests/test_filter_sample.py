@@ -98,3 +98,40 @@ def test_fused_window_decode_matches_unfused(interpret_mode, rng):
     ctx.pipeline._window_decoders.clear()
     plain_segs = ctx.full(p, audio)
     assert fused_text == [s.text for s in plain_segs]
+
+
+def test_fused_large_batch_grid(interpret_mode):
+    """B=20 spans multiple row-block grid programs (and pads the last):
+    every row must match the jnp reference (a single-block kernel OOMs
+    VMEM at B >= 16 on real hardware — the grid keeps blocks ~2 MB)."""
+    cfg = get_config("tiny.en")
+    V = cfg.n_vocab
+    rng = np.random.default_rng(7)
+    B = 20
+    logits = jnp.asarray(rng.standard_normal((B, V)).astype(np.float32) * 3)
+    sup, fctx = _mk_fctx(cfg)
+
+    state = dict(
+        is_initial=jnp.asarray(rng.integers(0, 2, B) == 1),
+        last_token=jnp.asarray(rng.integers(-1, V, B), jnp.int32),
+        penult_token=jnp.asarray(rng.integers(-1, V, B), jnp.int32),
+        n_tokens=jnp.asarray(rng.integers(0, 9, B), jnp.int32),
+        has_ts=jnp.asarray(rng.integers(0, 2, B) == 1),
+        seek_delta=jnp.asarray(rng.integers(2, 3000, B), jnp.int32),
+    )
+    _, lp, probs = process_logits(
+        logits, fctx=fctx, temperature=jnp.float32(0.0),
+        suppress_blank=True, no_timestamps=False, **state)
+    ids_ref = np.argmax(np.asarray(probs), axis=-1)
+
+    out = fused_filter_sample(
+        logits, jnp.asarray(sup), temperature=jnp.float32(0.0),
+        seeds=jnp.zeros(B, jnp.int32), eot=cfg.token_eot,
+        beg=cfg.token_beg, space_id=220, max_initial_tid=50,
+        suppress_blank=True, no_timestamps=False, argmax_sample=True,
+        **state)
+    assert out.token.shape == (B,)
+    np.testing.assert_array_equal(np.asarray(out.token), ids_ref)
+    rows = np.arange(B)
+    np.testing.assert_allclose(np.asarray(out.p),
+                               np.asarray(probs)[rows, ids_ref], atol=1e-5)

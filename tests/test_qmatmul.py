@@ -147,3 +147,138 @@ def test_quantized_sharding(cfg):
 def test_unknown_quantize_mode():
     with pytest.raises(ValueError):
         gwt.WhisperContext.synthetic("tiny.en", quantize="q4_banana")
+
+
+# ==================================================================== int4 ==
+from godot_whisper_tpu.models.quant import (quant_mode,
+                                            quantize_decoder_int4)
+from godot_whisper_tpu.ops.qmatmul import (Quant4Tensor, dequantize4,
+                                           quant_matmul4, quantize_tensor4)
+
+
+def test_quantize4_roundtrip(rng):
+    w = rng.standard_normal((256, 200)).astype(np.float32)
+    qt = quantize_tensor4(jnp.asarray(w), group=128)
+    assert qt.q.dtype == jnp.uint8 and qt.q.shape == (128, 200)
+    assert qt.s.shape == (2, 200) and qt.group == 128
+    back = np.asarray(dequantize4(qt))
+    # symmetric absmax int4: max error is half a step (per 128-row group)
+    step = np.abs(w.reshape(2, 128, 200)).max(axis=1) / 7.0
+    err = np.abs(back - w).reshape(2, 128, 200).max(axis=1)
+    assert np.all(err <= step * 0.5 + 1e-7)
+
+
+def test_quant_matmul4_kernel_matches_fallback(rng):
+    """Pallas interpret mode == the per-group einsum fallback, including a
+    non-128-aligned output dim (200), odd row count (5), and multiple
+    groups."""
+    x = jnp.asarray(rng.standard_normal((5, 256)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((256, 200)).astype(np.float32))
+    qt = quantize_tensor4(w, group=128)
+    got = np.asarray(quant_matmul4(x, qt, interpret=True))
+    want = np.asarray(quant_matmul4(x, qt))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_quant_matmul4_leading_dims_and_edge_group(rng):
+    x = jnp.asarray(rng.standard_normal((2, 3, 64)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
+    qt = quantize_tensor4(w, group=64)  # single group == full contraction
+    y = quant_matmul4(x, qt)
+    assert y.shape == (2, 3, 128) and y.dtype == jnp.float32
+    ref = np.asarray(x) @ np.asarray(dequantize4(qt))
+    rel = np.abs(np.asarray(y) - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_quantize_decoder_int4_tree(cfg):
+    p = init_params(cfg, seed=0)
+    pq = quantize_decoder_int4(p)
+    assert is_quantized(pq)
+    dec = pq["decoder"]["blocks"]
+    # nano config: every contraction dim divides 128 -> all int4
+    for grp in ("attn", "cross_attn"):
+        for k in ("wq", "wk", "wv", "wo"):
+            assert isinstance(dec[grp][k], Quant4Tensor), (grp, k)
+    # token embedding stays int8 (per-row scales serve gather + logits)
+    assert isinstance(pq["decoder"]["token_embed"], QuantTensor)
+    modes = quant_mode(pq)
+    assert modes["token_embed"] == "int8"
+    assert modes["blocks.attn.wq"] == "int4"
+    assert modes["blocks.mlp.w1"] == "int4"
+    # stacked (scan) shapes preserved: leading layer axis intact
+    assert dec["attn"]["wq"].q.shape[0] == cfg.n_text_layer
+    # idempotent
+    pq2 = quantize_decoder_int4(pq)
+    assert pq2["decoder"]["blocks"]["attn"]["wq"].q is dec["attn"]["wq"].q
+
+
+def test_quantize_decoder_int4_fallback_reported():
+    cfg_odd = gwt.get_config("tiny.en").replace(
+        n_audio_layer=1, n_text_layer=1, n_audio_ctx=32, n_text_ctx=16,
+        n_vocab=512, n_audio_state=96, n_audio_head=4,
+        n_text_state=96, n_text_head=4, name="odd")  # 96 % 128 != 0
+    p = init_params(cfg_odd, seed=0)
+    pq = quantize_decoder_int4(p)
+    modes = quant_mode(pq)
+    assert modes["blocks.attn.wq"] == "int8"   # fell back, discoverable
+    assert modes["blocks.mlp.w1"] == "int4"    # 4*96=384 divides 128
+
+
+def test_int4_decoder_forward_close_to_f32(cfg, rng):
+    p = init_params(cfg, seed=0, compute_dtype=jnp.float32)
+    pq = quantize_decoder_int4(p)
+    mel = jnp.asarray(rng.standard_normal(
+        (2, 2 * cfg.n_audio_ctx, cfg.n_mels)).astype(np.float32))
+    toks = jnp.asarray(rng.integers(0, cfg.n_vocab, (2, 6)),
+                       dtype=jnp.int32)
+
+    def fwd(params, dtype):
+        enc = encoder_forward(params, cfg, mel)
+        xkv = cross_kv(params, cfg, enc)
+        kv = init_kv_cache(cfg, 2, dtype=dtype)
+        pos = jnp.broadcast_to(jnp.arange(6, dtype=jnp.int32), (2, 6))
+        mask = causal_prompt_mask(cfg, jnp.int32(6), 6, 2)
+        logits, _ = decoder_forward(params, cfg, toks, pos, kv, xkv, mask)
+        return np.asarray(logits)
+
+    a = fwd(p, jnp.float32)
+    b = fwd(pq, param_compute_dtype(pq))
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+    # int4 on random gaussian weights is a worst case (flat spectrum):
+    # ~0.19 rel here; trained checkpoints land far lower
+    assert rel < 0.25, rel
+
+
+def test_int4_full_pipeline():
+    ctx = gwt.WhisperContext.synthetic("tiny.en", seed=0, quantize="int4")
+    samples = np.zeros(16000, dtype=np.float32)
+    tp = gwt.TranscribeParams(best_of=1, temperature_inc=0.0,
+                              print_progress=False, audio_ctx=128)
+    ctx.full(tp, samples)  # must not raise
+
+
+def test_int4_sharding(cfg):
+    """shard_params places Quant4Tensor leaves: q mirrors the weight spec;
+    scale group axes shard only when whole groups land per shard."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from godot_whisper_tpu.parallel.sharding import make_mesh, shard_params
+    p = quantize_decoder_int4(init_params(cfg, seed=0))
+    mesh = make_mesh(dp=2, tp=4)
+    sp = shard_params(p, mesh, cfg)
+    P = jax.sharding.PartitionSpec
+    wq = sp["decoder"]["blocks"]["attn"]["wq"]   # (L, S/2, O) out-sharded
+    assert wq.q.dtype == jnp.uint8
+    assert wq.q.sharding.spec == P(None, None, "tp")
+    assert wq.s.sharding.spec == P(None, None, "tp")
+    # contraction-sharded w1 (S=4*128=512, n_g=4, tp=4): whole groups per
+    # shard -> scales tp-sharded on the group axis
+    w1 = sp["decoder"]["blocks"]["mlp"]["w1"]
+    assert w1.q.sharding.spec == P(None, "tp", None)
+    assert w1.s.sharding.spec == P(None, "tp", None)
+    # contraction-sharded wo (S=128, n_g=1, tp=4): groups don't divide ->
+    # scales replicated on the group axis
+    wo = sp["decoder"]["blocks"]["attn"]["wo"]
+    assert wo.q.sharding.spec == P(None, "tp", None)
+    assert wo.s.sharding.spec == P(None, None, None)
