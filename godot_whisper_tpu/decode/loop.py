@@ -285,6 +285,18 @@ class WhisperPipeline:
 
         strategy = ("beam" if tparams.strategy == SamplingStrategy.BEAM_SEARCH
                     else "greedy")
+
+        # Device-resident whole-clip loop (decode/clip.py): one dispatch for
+        # the entire seek loop + ladder + tokens, one drain — removes every
+        # per-window host round trip.  Host path remains for beam search,
+        # best_of>1 ladders, grammar/callback decoding and injected mels.
+        if (self._mel_device is not None
+                and self._device_loop_eligible(tparams, temperatures,
+                                               strategy)):
+            return self._full_device(tparams, temperatures, prompt_init,
+                                     prompt_past, seek_start, seek_end,
+                                     no_timestamps)
+
         wd = self._window_decoder(tparams)
 
         seek = seek_start
@@ -407,6 +419,89 @@ class WhisperPipeline:
             if tparams.abort_callback and tparams.abort_callback(self):
                 break
 
+        return self.segments
+
+    # -------------------------------------------------- device-resident loop
+    def _device_loop_eligible(self, tparams: TranscribeParams,
+                              temperatures, strategy: str) -> bool:
+        return (strategy == "greedy"
+                and tparams.grammar_rules is None
+                and tparams.logits_filter_callback is None
+                and tparams.encoder_begin_callback is None
+                and tparams.progress_callback is None
+                and tparams.abort_callback is None
+                and not tparams.cross_kv_int8
+                # one decoder per ladder rung only (whisper.cpp:5187-5206
+                # best_of ranking stays on the host path)
+                and all(tparams.n_decoders_at(t) == 1 for t in temperatures))
+
+    def _clip_decoder(self, tparams: TranscribeParams, temperatures,
+                      prompt_init, no_timestamps: bool, f_cap: int):
+        from ..ops.attention import use_pallas
+        from .clip import ClipDecoder, ClipStatics
+        statics = ClipStatics(
+            config=self.config, batch=1, f_cap=f_cap,
+            w_total=min(64, 4 * (-(-f_cap // 3000)) + 4),
+            audio_ctx=tparams.audio_ctx, temps=tuple(temperatures),
+            use_past=tparams.n_max_text_ctx > 0,
+            n_init=len(prompt_init),
+            n_max_text_ctx=tparams.n_max_text_ctx,
+            length_penalty=tparams.length_penalty,
+            entropy_thold=tparams.entropy_thold,
+            logprob_thold=tparams.logprob_thold,
+            suppress_blank=tparams.suppress_blank,
+            no_timestamps=no_timestamps,
+            single_segment=tparams.single_segment,
+            max_tokens=tparams.max_tokens,
+            test_mode=(self.n_loaded == 0), fused=use_pallas(),
+            seed=tparams.seed)
+        key = ("clip", statics, tparams.suppress_non_speech_tokens,
+               tparams.tdrz_enable, round(tparams.max_initial_ts, 6),
+               tuple(prompt_init))
+        cd = self._window_decoders.get(key)
+        if cd is None:
+            fctx = build_filter_context(
+                self.config, self.tokenizer,
+                suppress_non_speech=tparams.suppress_non_speech_tokens,
+                tdrz_enable=tparams.tdrz_enable,
+                max_initial_ts=tparams.max_initial_ts)
+            cd = ClipDecoder(self.config, fctx, statics, prompt_init)
+            self._window_decoders[key] = cd
+        return cd
+
+    def _full_device(self, tparams: TranscribeParams, temperatures,
+                     prompt_init, prompt_past, seek_start: int,
+                     seek_end: int, no_timestamps: bool) -> List[Segment]:
+        t0 = time.perf_counter()
+        dspan = tracer.span("decode_clip_device", seek=seek_start,
+                            seek_end=seek_end)
+        dspan.__enter__()
+        cd = self._clip_decoder(tparams, temperatures, prompt_init,
+                                no_timestamps, self._mel_device.shape[1])
+        state = cd.init_state(self._mel_device[None], [self._mel_n_len],
+                              [seek_start], [seek_end],
+                              past_init=[list(prompt_past)])
+        outs = None
+        while True:
+            state = cd.run(self.params, state)
+            outs = cd.drain(state)
+            self.timings.n_encode += int(outs.w[0])  # one encode per window
+            for k in range(int(outs.w[0])):
+                self.timings.n_decode += int(outs.steps[0, k])
+                if bool(outs.emitted[0, k]):
+                    res = outs.window_result(0, k)
+                    self._emit_segments(res, 0, [], prompt_init,
+                                        int(outs.seek[0, k]), tparams,
+                                        no_timestamps)
+                else:
+                    self.timings.n_fail_p += 1
+            if bool(outs.done[0]) or int(outs.w[0]) == 0:
+                break
+            state = cd.reset_windows(state)
+        self._prompt_past = [int(x) for x in
+                             outs.past_buf[0][:int(outs.past_cnt[0])]]
+        dspan.__exit__(None, None, None)
+        self.timings.t_decode_us += int((time.perf_counter() - t0) * 1e6)
         return self.segments
 
     # ------------------------------------------------------------- internals

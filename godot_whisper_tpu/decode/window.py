@@ -130,11 +130,16 @@ class WindowStatics:
     fused: bool = False
 
 
-def _sample_greedy(st: LoopState, statics: WindowStatics, fctx: FilterContext):
+def _sample_greedy(st: LoopState, statics: WindowStatics, fctx: FilterContext,
+                   argmax_flag=None):
     """Greedy / temperature sampling (whisper_sample_token,
-    whisper.cpp:4777-4834)."""
+    whisper.cpp:4777-4834).
+
+    ``argmax_flag``: optional traced (B,) bool — when given, the mode is
+    decided at runtime (the in-jit temperature ladder flips argmax at t=0
+    to categorical at t>0 without a recompile)."""
     B = statics.batch
-    if statics.greedy_argmax:
+    if argmax_flag is None and statics.greedy_argmax:
         ids = jnp.argmax(st.probs, axis=-1).astype(jnp.int32)
         rng = st.rng
     else:
@@ -143,6 +148,10 @@ def _sample_greedy(st: LoopState, statics: WindowStatics, fctx: FilterContext):
         ids = jax.vmap(
             lambda k, lp: jax.random.categorical(k, lp))(keys, st.logprobs
                                                          ).astype(jnp.int32)
+        if argmax_flag is not None:
+            ids = jnp.where(argmax_flag,
+                            jnp.argmax(st.probs, axis=-1).astype(jnp.int32),
+                            ids)
     rows = jnp.arange(B)
     p = st.probs[rows, ids]
     plog = st.logprobs[rows, ids]
@@ -221,74 +230,77 @@ def _sample_beam(st: LoopState, statics: WindowStatics, fctx: FilterContext):
     return src, ids, p, plog, pt, ptsum, tid, new_sum, st, st.rng
 
 
-class WindowDecoder:
-    """Compiles and caches jitted window-decode executables per static key."""
+def prompt_pass_per_stream(params, config: WhisperConfig, prompt: jax.Array,
+                           n_prompt: jax.Array, xkv_b):
+    """Per-stream prompt decode: each row its own prompt (B, P) with its
+    own length (B,).  Returns (last_logits (B, V), kv)."""
+    B, P = prompt.shape
+    dtype = param_compute_dtype(params)
+    kv0 = init_kv_cache(config, B, dtype=dtype)
+    positions = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32), (B, P))
+    pmask = causal_prompt_mask(config, n_prompt, P, B)
+    plogits, kv = decoder_forward(
+        params, config, prompt, positions, kv0, xkv_b, pmask,
+        logit_rows=jnp.broadcast_to(n_prompt - 1, (B,)), seq_from_zero=True)
+    return plogits[:, 0], kv                                    # (B, V)
 
-    def __init__(self, config: WhisperConfig, fctx: FilterContext):
-        self.config = config
-        self.fctx = fctx
-        self._cache: Dict[Any, Any] = {}
 
-    # ------------------------------------------------------------------ build
-    def _build(self, statics: WindowStatics):
-        config, fctx = self.config, self.fctx
-        B = statics.batch
-        N_MAX = statics.n_max
-        P = statics.prompt_pad
-        V = config.n_vocab
-        eot = fctx.token_eot
-        beg = fctx.token_beg
+def prompt_pass_shared(params, config: WhisperConfig, prompt: jax.Array,
+                       n_prompt: jax.Array, xkv_b, B: int):
+    """Shared prompt pass (whisper.cpp:5258-5285): decode with B=1,
+    broadcast the KV cache to all decoders (the functional equivalent of
+    kv_cache_seq_cp 0->j, whisper.cpp:5277)."""
+    P = prompt.shape[-1]
+    V = config.n_vocab
+    dtype = param_compute_dtype(params)
+    kv1 = init_kv_cache(config, 1, dtype=dtype)
+    positions = jnp.arange(P, dtype=jnp.int32)[None]
+    pmask = causal_prompt_mask(config, n_prompt, P, 1)
+    xkv1 = _xkv_slice_one(xkv_b)
+    plogits, kv1 = decoder_forward(
+        params, config, prompt[None], positions, kv1, xkv1, pmask,
+        logit_rows=jnp.reshape(n_prompt - 1, (1,)), seq_from_zero=True)
+    last_logits = jnp.broadcast_to(plogits[:, 0], (B, V))       # (B, V)
+    kv = KVCache(
+        k=jnp.broadcast_to(kv1.k, (kv1.k.shape[0], B) + kv1.k.shape[2:]),
+        v=jnp.broadcast_to(kv1.v, (kv1.v.shape[0], B) + kv1.v.shape[2:]))
+    return last_logits, kv
 
-        def proc(logits, st_like, *, is_initial, n_tokens, last, penult,
-                 fctx):
-            return process_logits(
-                logits, fctx=fctx,
-                temperature=st_like["temp"],
-                is_initial=is_initial,
-                last_token=last, penult_token=penult,
-                n_tokens=n_tokens,
-                has_ts=st_like["has_ts"], seek_delta=st_like["seek_delta"],
-                suppress_blank=statics.suppress_blank,
-                no_timestamps=statics.no_timestamps)
 
-        def window_fn(params, xkv_b: CrossKV, prompt: jax.Array,
-                      n_prompt: jax.Array, temperature: jax.Array,
-                      seek: jax.Array, seek_end: jax.Array,
-                      rng: jax.Array, suppress_mask: jax.Array) -> LoopState:
-            # the static suppression mask rides in as an argument — a (V,)
-            # trace-time constant makes remote compiles pathologically slow
-            tfctx = fctx._replace(static_suppress=suppress_mask)
-            dtype = param_compute_dtype(params)
-            if statics.per_stream:
-                # ---- per-stream prompt pass: each row decodes its own
-                # prompt (B, P) with its own length (B,)
-                kv0 = init_kv_cache(config, B, dtype=dtype)
-                positions = jnp.broadcast_to(
-                    jnp.arange(P, dtype=jnp.int32), (B, P))
-                pmask = causal_prompt_mask(config, n_prompt, P, B)
-                plogits, kv = decoder_forward(
-                    params, config, prompt, positions, kv0, xkv_b, pmask)
-                last_logits = plogits[jnp.arange(B), n_prompt - 1]  # (B, V)
-            else:
-                # ---- shared prompt pass (whisper.cpp:5258-5285): decode
-                # with B=1, broadcast the KV cache to all decoders (the
-                # functional equivalent of kv_cache_seq_cp 0->j,
-                # whisper.cpp:5277).
-                kv1 = init_kv_cache(config, 1, dtype=dtype)
-                positions = jnp.arange(P, dtype=jnp.int32)[None]
-                pmask = causal_prompt_mask(config, n_prompt, P, 1)
-                xkv1 = _xkv_slice_one(xkv_b)
-                plogits, kv1 = decoder_forward(
-                    params, config, prompt[None], positions, kv1, xkv1,
-                    pmask)
-                last_logits = plogits[0, n_prompt - 1][None]        # (1, V)
-                last_logits = jnp.broadcast_to(last_logits, (B, V))
+def run_decode_loop(params, config: WhisperConfig, fctx: FilterContext,
+                    statics: WindowStatics, xkv_b, kv: KVCache,
+                    last_logits: jax.Array, n_prompt: jax.Array,
+                    temperature: jax.Array, seek: jax.Array,
+                    seek_end: jax.Array, rng: jax.Array,
+                    suppress_mask: jax.Array,
+                    argmax_flag=None) -> LoopState:
+    """The in-jit autoregressive window loop given a finished prompt pass.
 
-                kv = KVCache(k=jnp.broadcast_to(
-                    kv1.k, (kv1.k.shape[0], B) + kv1.k.shape[2:]),
-                    v=jnp.broadcast_to(
-                        kv1.v, (kv1.v.shape[0], B) + kv1.v.shape[2:]))
+    Shared by WindowDecoder (one jit per window) and decode/clip.py's
+    device-resident whole-clip loop (windows + temperature ladder nested
+    around this).  ``fctx`` must already carry the live suppress mask;
+    ``argmax_flag`` optionally makes the argmax/sample decision a runtime
+    (B,) flag instead of a static (the in-jit ladder needs that).
+    """
+    B = statics.batch
+    N_MAX = statics.n_max
+    eot = fctx.token_eot
+    beg = fctx.token_beg
+    tfctx = fctx
 
+    def proc(logits, st_like, *, is_initial, n_tokens, last, penult,
+             fctx):
+        return process_logits(
+            logits, fctx=fctx,
+            temperature=st_like["temp"],
+            is_initial=is_initial,
+            last_token=last, penult_token=penult,
+            n_tokens=n_tokens,
+            has_ts=st_like["has_ts"], seek_delta=st_like["seek_delta"],
+            suppress_blank=statics.suppress_blank,
+            no_timestamps=statics.no_timestamps)
+
+    if True:  # keep the original body's indentation depth
             # normalize loop-carried scalars to per-row vectors
             n_prompt = jnp.broadcast_to(jnp.asarray(n_prompt), (B,))
             seek = jnp.broadcast_to(jnp.asarray(seek), (B,))
@@ -317,7 +329,9 @@ class WindowDecoder:
                     max_initial_tid=fctx.max_initial_tid,
                     suppress_blank=statics.suppress_blank,
                     no_timestamps=statics.no_timestamps,
-                    argmax_sample=statics.greedy_argmax)
+                    argmax_sample=(statics.greedy_argmax
+                                   if argmax_flag is None else None),
+                    argmax_flag=argmax_flag)
                 new_sum = st.sum_logprobs_all + jnp.where(
                     st.completed | st.failed, 0.0, out.plog)
                 return (rows, out.token, out.p, out.plog, out.pt, out.ptsum,
@@ -374,7 +388,7 @@ class WindowDecoder:
                      rng) = sample_fused(st)
                 else:
                     (src, ids, p, plog, pt, ptsum, tid, new_sum, st,
-                     rng) = _sample_greedy(st, statics, fctx)
+                     rng) = _sample_greedy(st, statics, fctx, argmax_flag)
 
                 live = ~was_done
                 # append token i (masked for dead slots)
@@ -467,12 +481,48 @@ class WindowDecoder:
                         last=tokens[:, i], penult=penult, fctx=tfctx)
                     return st._replace(kv=kv, probs=probs, logprobs=logprobs)
 
-                all_done = jnp.all(st.completed | st.failed)
-                st = lax.cond(all_done | (i >= N_MAX - 1),
-                              lambda s: s, next_probs, st)
+                # UNCONDITIONAL next-step decode: wrapping this in
+                # lax.cond(all_done, identity, next_probs) to skip the
+                # final wasted step triggers XLA's conditional-splitting
+                # inside nested loops — the layer scan gets DUPLICATED and
+                # every token step ran the decoder twice (measured 86% of
+                # device time).  One extra decoder call per window is
+                # noise; a 2x per-step cost is not.
+                st = next_probs(st)
                 return st._replace(i=i + 1)
 
             return lax.while_loop(cond, body, st)
+
+
+class WindowDecoder:
+    """Compiles and caches jitted window-decode executables per static key."""
+
+    def __init__(self, config: WhisperConfig, fctx: FilterContext):
+        self.config = config
+        self.fctx = fctx
+        self._cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------ build
+    def _build(self, statics: WindowStatics):
+        config, fctx = self.config, self.fctx
+        B = statics.batch
+
+        def window_fn(params, xkv_b: CrossKV, prompt: jax.Array,
+                      n_prompt: jax.Array, temperature: jax.Array,
+                      seek: jax.Array, seek_end: jax.Array,
+                      rng: jax.Array, suppress_mask: jax.Array) -> LoopState:
+            # the static suppression mask rides in as an argument — a (V,)
+            # trace-time constant makes remote compiles pathologically slow
+            tfctx = fctx._replace(static_suppress=suppress_mask)
+            if statics.per_stream:
+                last_logits, kv = prompt_pass_per_stream(
+                    params, config, prompt, n_prompt, xkv_b)
+            else:
+                last_logits, kv = prompt_pass_shared(
+                    params, config, prompt, n_prompt, xkv_b, B)
+            return run_decode_loop(
+                params, config, tfctx, statics, xkv_b, kv, last_logits,
+                n_prompt, temperature, seek, seek_end, rng, suppress_mask)
 
         return jax.jit(window_fn)
 

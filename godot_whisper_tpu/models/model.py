@@ -14,8 +14,11 @@ Behavioral contract mirrors the reference graphs:
 TPU-first design choices (deliberately NOT the reference's):
 - layers run under ``lax.scan`` over stacked weights (flat compile time);
 - the KV cache is a fixed-shape functional array
-  ``(layers, batch, n_text_ctx, heads, head_dim)`` updated with
-  ``dynamic_update_slice`` — beam reorder is a gather on the batch axis,
+  ``(layers, batch, heads, n_text_ctx, head_dim)`` — HEAD-MAJOR so the
+  physical layout matches what the attention score contraction reads every
+  decode step (a seq-major cache costs a full-cache layout-conversion copy
+  per step inside the device-resident loops) — updated with
+  ``dynamic_update_slice``; beam reorder is a gather on the batch axis,
   replacing the reference's cell/seq-id mutation machinery
   (whisper.cpp:639-1054);
 - masks are computed from positions, never materialized per sequence;
@@ -70,22 +73,27 @@ def _merge_heads(x: jax.Array) -> jax.Array:
 
 def mha(q: jax.Array, k: jax.Array, v: jax.Array,
         mask: Optional[jax.Array] = None) -> jax.Array:
-    """Multi-head attention core.
+    """Multi-head attention core over a CACHED key/value layout.
 
-    q: (B, Tq, H, Dh), k/v: (B, Tk, H, Dh); mask broadcastable to
-    (B, H, Tq, Tk) — additive, float32.  Returns (B, Tq, H, Dh).
-    Softmax in float32; the 1/sqrt(Dh) scale is applied here (the reference
-    splits it across pre-scaled Q and K, whisper.cpp:1835-1845 — numerically
-    equivalent).
+    q: (B, Tq, H, Dh); k/v: (B, H, Tk, Dh) — the head-major physical
+    layout every KV cache in this framework stores (KVCache/CrossKV).
+    Scores consume k/v directly with no per-step transpose: inside the
+    device-resident decode loops a (B, Tk, H, Dh) cache forced XLA to
+    insert a layout-conversion copy of the FULL cross-KV on every decoder
+    step (~37 MB/step at B=8, measured ~40% of step time).  mask
+    broadcastable to (B, H, Tq, Tk) — additive, float32.  Returns
+    (B, Tq, H, Dh).  Softmax in float32; the 1/sqrt(Dh) scale is applied
+    here (the reference splits it across pre-scaled Q and K,
+    whisper.cpp:1835-1845 — numerically equivalent).
     """
     dh = q.shape[-1]
     scale = jnp.float32(1.0 / (dh ** 0.5))
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+    scores = jnp.einsum("bqhd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     if mask is not None:
         scores = scores + mask
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+    out = jnp.einsum("bhqk,bhkd->bqhd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
     return out
 
@@ -170,8 +178,8 @@ def encoder_forward(params: Params, config: WhisperConfig,
 
 # ================================================================= cross-KV ==
 class CrossKV(NamedTuple):
-    k: jax.Array  # (L, B, n_audio_ctx, H, Dh)
-    v: jax.Array  # (L, B, n_audio_ctx, H, Dh)
+    k: jax.Array  # (L, B, H, n_audio_ctx, Dh) — head-major (see mha)
+    v: jax.Array  # (L, B, H, n_audio_ctx, Dh)
 
 
 class QuantCrossKV(NamedTuple):
@@ -184,21 +192,21 @@ class QuantCrossKV(NamedTuple):
     probs-weighted sum).  Opt-in via TranscribeParams.cross_kv_int8.
     """
 
-    k_q: jax.Array  # (L, B, T, H, Dh) int8
-    k_s: jax.Array  # (L, B, T, H) f32
-    v_q: jax.Array  # (L, B, T, H, Dh) int8
+    k_q: jax.Array  # (L, B, H, T, Dh) int8 — head-major (see mha)
+    k_s: jax.Array  # (L, B, H, T) f32
+    v_q: jax.Array  # (L, B, H, T, Dh) int8
     v_s: jax.Array  # (L, B, H) f32
 
 
 def quantize_cross_kv(xkv: CrossKV) -> QuantCrossKV:
-    kf = xkv.k.astype(jnp.float32)
+    kf = xkv.k.astype(jnp.float32)                             # (L,B,H,T,D)
     vf = xkv.v.astype(jnp.float32)
-    k_s = jnp.max(jnp.abs(kf), axis=-1) / 127.0                # (L,B,T,H)
+    k_s = jnp.max(jnp.abs(kf), axis=-1) / 127.0                # (L,B,H,T)
     k_q = jnp.clip(jnp.round(kf / jnp.maximum(k_s[..., None], 1e-9)),
                    -127, 127).astype(jnp.int8)
-    v_s = jnp.max(jnp.abs(vf), axis=(2, 4)) / 127.0            # (L,B,H)
+    v_s = jnp.max(jnp.abs(vf), axis=(3, 4)) / 127.0            # (L,B,H)
     v_q = jnp.clip(
-        jnp.round(vf / jnp.maximum(v_s[:, :, None, :, None], 1e-9)),
+        jnp.round(vf / jnp.maximum(v_s[..., None, None], 1e-9)),
         -127, 127).astype(jnp.int8)
     return QuantCrossKV(k_q=k_q, k_s=k_s, v_q=v_q, v_s=v_s)
 
@@ -222,7 +230,9 @@ def cross_kv(params: Params, config: WhisperConfig,
     def one_layer(_, layer):
         k = _heads(_proj(enc_out, layer["wk"]), n_head)
         v = _heads(_proj(enc_out, layer["wv"], layer["bv"]), n_head)
-        return None, (k, v)
+        # head-major physical layout: the decode loops read this every
+        # step; transposing ONCE here beats a per-step conversion copy
+        return None, (k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))
 
     _, (k, v) = lax.scan(one_layer, None,
                          {"wk": ca["wk"], "wv": ca["wv"], "bv": ca["bv"]})
@@ -231,8 +241,8 @@ def cross_kv(params: Params, config: WhisperConfig,
 
 # ================================================================== decoder ==
 class KVCache(NamedTuple):
-    k: jax.Array  # (L, B, n_text_ctx, H, Dh)
-    v: jax.Array  # (L, B, n_text_ctx, H, Dh)
+    k: jax.Array  # (L, B, H, n_text_ctx, Dh) — head-major (see mha)
+    v: jax.Array  # (L, B, H, n_text_ctx, Dh)
 
     @property
     def batch(self) -> int:
@@ -241,13 +251,13 @@ class KVCache(NamedTuple):
 
 def init_kv_cache(config: WhisperConfig, batch: int,
                   dtype=jnp.bfloat16) -> KVCache:
-    shape = (config.n_text_layer, batch, config.n_text_ctx,
-             config.n_text_head, config.head_dim)
+    shape = (config.n_text_layer, batch, config.n_text_head,
+             config.n_text_ctx, config.head_dim)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
 def reorder_kv_cache(cache: KVCache, src: jax.Array) -> KVCache:
-    """Beam reorder: cache[:, j] <- cache[:, src[j]].
+    """Beam reorder: cache[:, j] <- cache[:, src[j]] (batch axis 1).
 
     The functional equivalent of the reference's seq_cp/seq_rm dance through
     scratch sequence ids (whisper.cpp:5402-5418).
@@ -264,6 +274,9 @@ def decoder_forward(
     kv: KVCache,
     xkv: CrossKV,
     self_mask: jax.Array,     # (B, 1, T, n_text_ctx) additive f32
+    logit_rows: Optional[jax.Array] = None,  # (B,) — only these T-positions
+    seq_from_zero: bool = False,  # positions == arange(T): KV write is a
+                                  # static-offset slice update, not a scatter
 ) -> Tuple[jax.Array, KVCache]:
     """Decoder over T new tokens per batch row; returns (logits, new kv).
 
@@ -273,7 +286,11 @@ def decoder_forward(
     function, distinguished only by static T.
 
     KV writes land at ``positions`` via one scatter per layer.
-    logits: (B, T, n_vocab) float32.
+    logits: (B, T, n_vocab) float32 — or (B, 1, n_vocab) when
+    ``logit_rows`` selects one position per row (the prompt pass needs only
+    the final position's logits; computing all T against the 51k vocab
+    costs T× the FLOPs and materializes a (B, T, V) f32 buffer — the
+    reference likewise extracts only flagged rows, whisper.cpp:2536-2572).
     """
     dec = params["decoder"]
     n_head = config.n_text_head
@@ -306,9 +323,22 @@ def decoder_forward(
         k_new = _heads(_proj(h, attn["wk"]), n_head)
         v_new = _heads(_proj(h, attn["wv"], attn["bv"]), n_head)
 
-        # scatter new K/V into the cache at `positions`
-        kv_k = kv_k.at[b_idx, positions].set(k_new.astype(kv_k.dtype))
-        kv_v = kv_v.at[b_idx, positions].set(v_new.astype(kv_v.dtype))
+        # write new K/V into the cache at `positions`
+        # cache layer layout (B, H, ctx, Dh); k_new/v_new are (B, T, H, Dh)
+        if seq_from_zero:
+            kv_k = lax.dynamic_update_slice_in_dim(
+                kv_k, k_new.transpose(0, 2, 1, 3).astype(kv_k.dtype),
+                0, axis=2)
+            kv_v = lax.dynamic_update_slice_in_dim(
+                kv_v, v_new.transpose(0, 2, 1, 3).astype(kv_v.dtype),
+                0, axis=2)
+        else:
+            # advanced (B,1)+(B,T) indices around the sliced head axis:
+            # result group leads -> update shape (B, T, H, Dh) == k_new
+            kv_k = kv_k.at[b_idx[:, :1], :, positions].set(
+                k_new.astype(kv_k.dtype))
+            kv_v = kv_v.at[b_idx[:, :1], :, positions].set(
+                v_new.astype(kv_v.dtype))
 
         o = _merge_heads(mha(q, kv_k, kv_v, self_mask)).astype(cdtype)
         x = x + _proj(o, attn["wo"], attn["bo"], out_dtype=cdtype)
@@ -339,6 +369,8 @@ def decoder_forward(
         (blocks, kv.k, kv.v, xkv_xs))
 
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"]).astype(cdtype)
+    if logit_rows is not None:
+        x = x[jnp.arange(B), logit_rows][:, None]            # (B, 1, S)
     if quant_te:
         # logits against the SAME int8 buffer ("oi" layout: contraction
         # over S, per-vocab-row scales factor out of the sum)

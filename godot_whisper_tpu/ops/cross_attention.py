@@ -17,10 +17,12 @@ bf16 with their float32 scales applied in VMEM, scores/softmax/accumulate
 in float32.  This is strictly more accurate than the XLA fallback path's
 int8xint8 formulation it replaces.
 
-Layout: q (B, Tq, H, D); k_q/v_q (B, Tk, H, D) int8; k_s (B, Tk, H) f32
-per-(position, head) scales; v_s (B, H) f32 per-head scales (matching
-``models.model.quantize_cross_kv``).  Grid over (B, H); the key axis is
-padded to a block multiple with a masked tail.
+Layout: q (B, Tq, H, D); k_q/v_q (B, H, Tk, D) int8 HEAD-MAJOR (the
+framework's cache layout, models/model.py mha); k_s (B, H, Tk) f32
+per-(head, position) scales; v_s (B, H) f32 per-head scales (matching
+``models.model.quantize_cross_kv``).  Grid over (B, H) with fully
+contiguous per-head blocks; the key axis is padded to a block multiple
+with a masked tail.
 """
 
 from __future__ import annotations
@@ -55,7 +57,7 @@ def _xattn_kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref, *,
 
     def body(i, carry):
         acc, m_i, l_i = carry
-        kq = kq_ref[0, pl.ds(i * _BLOCK_K, _BLOCK_K), 0, :]   # (BK, D) i8
+        kq = kq_ref[0, 0, pl.ds(i * _BLOCK_K, _BLOCK_K), :]   # (BK, D) i8
         ks = ks_ref[0, 0, pl.ds(i * _BLOCK_K, _BLOCK_K)]      # (BK,) f32
         k = kq.astype(jnp.float32) * ks[:, None]               # dequant, VMEM
         s = lax.dot_general(
@@ -68,7 +70,7 @@ def _xattn_kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref, *,
         p = jnp.exp(s - m_new)
         correction = jnp.exp(m_i - m_new)
         l_new = l_i * correction + jnp.sum(p, axis=-1, keepdims=True)
-        v = vq_ref[0, pl.ds(i * _BLOCK_K, _BLOCK_K), 0, :].astype(
+        v = vq_ref[0, 0, pl.ds(i * _BLOCK_K, _BLOCK_K), :].astype(
             jnp.float32)                                       # (BK, D)
         acc = acc * correction + lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
@@ -88,11 +90,11 @@ def _xattn_kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref, *,
                                              "interpret"))
 def _xattn_quant(q, k_q, k_s, v_q, v_s, *, scale: float, t_valid: int,
                  interpret: bool = False):
-    """q (B, Tq, H, D) bf16; k_q/v_q (B, T_pad, H, D) int8;
+    """q (B, Tq, H, D) bf16; k_q/v_q (B, H, T_pad, D) int8 head-major;
     k_s (B, H, T_pad) f32 (lane-aligned); v_s (B, H) f32
     -> (B, Tq, H, D) f32."""
     b, tq, h, d = q.shape
-    t_pad = k_q.shape[1]
+    t_pad = k_q.shape[2]
     grid = (b, h)
 
     kernel = functools.partial(_xattn_kernel, scale=scale, t_pad=t_pad,
@@ -103,11 +105,11 @@ def _xattn_quant(q, k_q, k_s, v_q, v_s, *, scale: float, t_valid: int,
         in_specs=[
             pl.BlockSpec((1, tq, 1, d), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, 1, d), lambda i, j: (i, 0, j, 0),
+            pl.BlockSpec((1, 1, t_pad, d), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, t_pad), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, 1, d), lambda i, j: (i, 0, j, 0),
+            pl.BlockSpec((1, 1, t_pad, d), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i, j: (i, j),
                          memory_space=pltpu.SMEM),
@@ -130,31 +132,30 @@ def cross_attention_quant(q: jax.Array, k_q: jax.Array, k_s: jax.Array,
                           *, interpret: bool = False) -> jax.Array:
     """Cross attention against an int8 KV cache.
 
-    q: (B, Tq, H, D); k_q/v_q: (B, Tk, H, D) int8; k_s: (B, Tk, H) f32;
-    v_s: (B, H) f32.  Returns (B, Tq, H, D) float32.
+    q: (B, Tq, H, D); k_q/v_q: (B, H, Tk, D) int8 head-major;
+    k_s: (B, H, Tk) f32; v_s: (B, H) f32.  Returns (B, Tq, H, D) float32.
 
     Pallas (in-VMEM dequant) on TPU; float dequant einsum fallback
     elsewhere — same math: dequantized K/V, f32 softmax/accumulation.
     """
     b, tq, h, d = q.shape
-    tk = k_q.shape[1]
+    tk = k_q.shape[2]
     scale = float(1.0 / (d ** 0.5))
 
     if not (use_pallas() or interpret):
         kf = k_q.astype(jnp.float32) * k_s[..., None]
-        vf = v_q.astype(jnp.float32) * v_s[:, None, :, None]
-        s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), kf,
+        vf = v_q.astype(jnp.float32) * v_s[..., None, None]
+        s = jnp.einsum("bqhd,bhkd->bhqk", q.astype(jnp.float32), kf,
                        preferred_element_type=jnp.float32) * scale
         p = jax.nn.softmax(s, axis=-1)
-        return jnp.einsum("bhqk,bkhd->bqhd", p, vf,
+        return jnp.einsum("bhqk,bhkd->bqhd", p, vf,
                           preferred_element_type=jnp.float32)
 
     t_pad = -(-tk // _BLOCK_K) * _BLOCK_K
     if t_pad != tk:
-        pad4 = [(0, 0), (0, t_pad - tk), (0, 0), (0, 0)]
+        pad4 = [(0, 0), (0, 0), (0, t_pad - tk), (0, 0)]
         k_q = jnp.pad(k_q, pad4)
         v_q = jnp.pad(v_q, pad4)
-        k_s = jnp.pad(k_s, [(0, 0), (0, t_pad - tk), (0, 0)])
-    k_s_t = k_s.transpose(0, 2, 1)  # (B, H, T_pad) — lane-aligned scales
-    return _xattn_quant(q.astype(jnp.bfloat16), k_q, k_s_t, v_q, v_s,
+        k_s = jnp.pad(k_s, [(0, 0), (0, 0), (0, t_pad - tk)])
+    return _xattn_quant(q.astype(jnp.bfloat16), k_q, k_s, v_q, v_s,
                         scale=scale, t_valid=tk, interpret=interpret)

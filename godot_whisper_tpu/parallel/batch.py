@@ -2,19 +2,22 @@
 
 The reference's only data parallelism is one host thread + state per audio
 chunk (whisper_full_parallel, whisper.cpp:5817-5930).  On TPU the chip is
-shared, so parallel streams must share compiled executables and batch their
-windows: this module drives N independent utterance streams in lockstep —
-one batched encoder call and one batched in-jit window decode per
-iteration, each stream with its own prompt context and seek position
-(window.py's ``per_stream`` mode).
+shared, so parallel streams share compiled executables and batch their
+work: this module drives N independent utterance streams through the
+device-resident whole-clip loop (decode/clip.py) — mel for every clip goes
+up in one transfer, ONE dispatch decodes every stream's seek loop +
+temperature ladder + tokens, and one device_get drains the token buffers.
+Each stream advances at its own window cadence with its own prompt context.
 
 Under a ("dp","tp") mesh the stream axis shards over dp: place the stacked
-mel windows with ``parallel.sharding.batch_sharding`` and XLA splits both
-encode and decode across chips.
+mel with ``parallel.sharding.batch_sharding`` and XLA splits both encode
+and decode across chips.
 
-Round-1 scope: greedy decode at the base temperature.  Streams whose
-window fails the quality gates fall back to the full per-stream ladder via
-a standard pipeline pass for that window only.
+Semantics: greedy with the full in-jit temperature ladder and entropy/
+logprob gates (one sampled decoder per stream at t>0 — the host path keeps
+exact best_of>1 ranking).  Token-level timestamps run as the standard host
+post-pass per stream (whisper.cpp:6315-6599).  Grammar / logit-callback
+decoding and beam search fall back to sequential per-stream ``full()``.
 """
 
 from __future__ import annotations
@@ -25,27 +28,14 @@ from typing import List, Optional
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from ..audio.mel import frame_counts
+from ..decode.clip import ClipDecoder, ClipStatics
+from ..decode.filters import build_filter_context
 from ..decode.loop import Segment, WhisperPipeline
-from ..decode.params import TranscribeParams
-from ..decode.sequence import score_sequence
+from ..decode.params import SamplingStrategy, TranscribeParams
 from ..models.config import WhisperConfig
-from ..models.model import CrossKV, cross_kv, encoder_forward
-
-
-@dataclasses.dataclass
-class _Stream:
-    index: int
-    n_len: int            # valid mel frames
-    n_len_org: int
-    seek: int
-    seek_end: int
-    prompt_past: List[int]
-    segments: List[Segment]
-    done: bool = False
-    mel_host: Optional[np.ndarray] = None  # materialized for fallback only
+from ..ops.attention import use_pallas
 
 
 class BatchTranscriber:
@@ -54,48 +44,59 @@ class BatchTranscriber:
 
     def __init__(self, ctx):
         self.ctx = ctx
-        self._encode_jit = {}
+        self._decoders = {}
 
-    def _batched_encode(self, params, mel_all: jax.Array, seeks, n_lens,
-                        audio_ctx: int):
-        """Device-side per-stream window slice + batched encode."""
-        key = (audio_ctx, mel_all.shape)
-        fn = self._encode_jit.get(key)
-        if fn is None:
-            config = self.ctx.config
-            n_ctx = audio_ctx or config.n_audio_ctx
+    # --------------------------------------------------------------- helpers
+    def _eligible(self, tparams: TranscribeParams) -> bool:
+        return (tparams.strategy == SamplingStrategy.GREEDY
+                and tparams.grammar_rules is None
+                and tparams.logits_filter_callback is None
+                and tparams.encoder_begin_callback is None
+                and tparams.progress_callback is None
+                and tparams.abort_callback is None
+                and not tparams.cross_kv_int8
+                and not tparams.detect_language)
 
-            def fn_impl(params, mel_all, seeks, n_lens):
-                def one(mel_row, seek, n_len):
-                    win = jax.lax.dynamic_slice(
-                        mel_row, (0, seek), (config.n_mels, 2 * n_ctx))
-                    idx = seek + jnp.arange(2 * n_ctx)
-                    return jnp.where((idx < n_len)[None, :], win, 0.0).T
+    def _clip_decoder(self, tparams: TranscribeParams, B: int, f_cap: int,
+                      prompt_init: List[int], no_timestamps: bool
+                      ) -> ClipDecoder:
+        pipe: WhisperPipeline = self.ctx.pipeline
+        config: WhisperConfig = self.ctx.config
+        statics = ClipStatics(
+            config=config, batch=B, f_cap=f_cap,
+            w_total=min(64, 4 * (-(-f_cap // 3000)) + 4),
+            audio_ctx=tparams.audio_ctx,
+            temps=tuple(tparams.temperatures()),
+            use_past=tparams.n_max_text_ctx > 0,
+            n_init=len(prompt_init),
+            n_max_text_ctx=tparams.n_max_text_ctx,
+            length_penalty=tparams.length_penalty,
+            entropy_thold=tparams.entropy_thold,
+            logprob_thold=tparams.logprob_thold,
+            suppress_blank=tparams.suppress_blank,
+            no_timestamps=no_timestamps,
+            single_segment=tparams.single_segment,
+            max_tokens=tparams.max_tokens,
+            test_mode=(pipe.n_loaded == 0),
+            fused=use_pallas(),
+            seed=tparams.seed)
+        fkey = (tparams.suppress_non_speech_tokens, tparams.tdrz_enable,
+                round(tparams.max_initial_ts, 6))
+        key = (statics, fkey, tuple(prompt_init))
+        cd = self._decoders.get(key)
+        if cd is None:
+            fctx = build_filter_context(
+                config, pipe.tokenizer,
+                suppress_non_speech=tparams.suppress_non_speech_tokens,
+                tdrz_enable=tparams.tdrz_enable,
+                max_initial_ts=tparams.max_initial_ts)
+            cd = ClipDecoder(config, fctx, statics, prompt_init)
+            self._decoders[key] = cd
+        return cd
 
-                wins = jax.vmap(one)(mel_all, seeks, n_lens)
-                enc = encoder_forward(params, self.ctx.config, wins,
-                                      audio_ctx=audio_ctx or None)
-                return cross_kv(params, self.ctx.config, enc)
-
-            fn = jax.jit(fn_impl)
-            self._encode_jit[key] = fn
-        return fn(params, mel_all,
-                  jnp.asarray(np.asarray(seeks, dtype=np.int32)),
-                  jnp.asarray(np.asarray(n_lens, dtype=np.int32)))
-
-    def transcribe(self, clips: List[np.ndarray],
-                   tparams: Optional[TranscribeParams] = None
-                   ) -> List[List[Segment]]:
-        ctx = self.ctx
-        pipe: WhisperPipeline = ctx.pipeline
-        config: WhisperConfig = ctx.config
-        tparams = tparams or TranscribeParams()
-        if tparams.token_timestamps:
-            raise NotImplementedError(
-                "token_timestamps in batch mode lands with the batched "
-                "energy pass; use per-stream full() meanwhile")
-
-        # task prefix (shared across streams)
+    def _prompt_init(self, tparams: TranscribeParams):
+        """Task prefix shared by every stream (whisper.cpp:5104-5129)."""
+        config = self.ctx.config
         prompt_init = [config.token_sot]
         language = tparams.language or "en"
         if config.is_multilingual:
@@ -106,128 +107,94 @@ class BatchTranscriber:
         no_timestamps = tparams.no_timestamps or config.is_distil
         if no_timestamps:
             prompt_init.append(config.token_not)
+        return prompt_init, no_timestamps
 
-        # batched device-resident mel for ALL clips in one call
+    # ------------------------------------------------------------ transcribe
+    def transcribe(self, clips: List[np.ndarray],
+                   tparams: Optional[TranscribeParams] = None
+                   ) -> List[List[Segment]]:
+        ctx = self.ctx
+        pipe: WhisperPipeline = ctx.pipeline
+        tparams = tparams or TranscribeParams()
+
+        if not self._eligible(tparams):
+            # exact-semantics fallback: sequential per-stream pipeline
+            out = []
+            for clip in clips:
+                pipe.segments = []
+                pipe._prompt_past = []
+                out.append(list(pipe.full(tparams, clip)))
+            return out
+
+        prompt_init, no_timestamps = self._prompt_init(tparams)
+
+        # batched device-resident mel for ALL clips in one transfer
         mel_all, n_lens = pipe.mel.device_batch(clips)
 
-        streams: List[_Stream] = []
-        for i, clip in enumerate(clips):
+        seeks, seek_ends, past_init = [], [], []
+        init_prompt_tokens: List[int] = []
+        if tparams.initial_prompt:
+            init_prompt_tokens = pipe.tokenizer.encode(
+                tparams.initial_prompt)
+        elif tparams.prompt_tokens:
+            init_prompt_tokens = list(tparams.prompt_tokens)
+        for clip in clips:
             _, n_len_org = frame_counts(len(clip))
-            seek_start = tparams.offset_ms // 10
-            seek_end = (n_len_org if tparams.duration_ms == 0
-                        else seek_start + tparams.duration_ms // 10)
-            st = _Stream(index=i, n_len=n_lens[i], n_len_org=n_len_org,
-                         seek=seek_start, seek_end=seek_end,
-                         prompt_past=[], segments=[])
-            if seek_end < seek_start + 100:
-                st.done = True
-            if tparams.initial_prompt:
-                st.prompt_past.extend(
-                    pipe.tokenizer.encode(tparams.initial_prompt))
-            streams.append(st)
+            s0 = tparams.offset_ms // 10
+            seeks.append(s0)
+            seek_ends.append(n_len_org if tparams.duration_ms == 0
+                             else s0 + tparams.duration_ms // 10)
+            past_init.append(list(init_prompt_tokens))
 
-        wd = pipe._window_decoder(tparams)
-        n_ctx = tparams.audio_ctx or config.n_audio_ctx
-        B = len(streams)
+        cd = self._clip_decoder(tparams, len(clips), mel_all.shape[2],
+                                prompt_init, no_timestamps)
+        state = cd.init_state(mel_all, n_lens, seeks, seek_ends,
+                              past_init=past_init)
 
+        segments: List[List[Segment]] = [[] for _ in clips]
+        ts_states = [{"t_beg": 0, "t_last": 0, "tid_last": 0}
+                     for _ in clips]
         while True:
-            active = [i for i, s in enumerate(streams)
-                      if not s.done and s.seek + 100 < s.seek_end]
-            if not active:
+            state = cd.run(pipe.params, state)
+            outs = cd.drain(state)
+            self._emit(outs, clips, segments, prompt_init, tparams,
+                       no_timestamps, ts_states)
+            if bool(np.all(outs.done | (outs.cur_seek + 100
+                                        >= np.asarray(seek_ends)))):
                 break
+            if int(outs.w.max()) == 0:
+                break  # no progress possible (safety)
+            state = cd.reset_windows(state)
 
-            # batched encode of every stream's current window (inactive
-            # streams re-encode their last window — wasted lanes keep the
-            # shape static; they are masked at emission)
-            xkv = self._batched_encode(
-                pipe.params, mel_all, [s.seek for s in streams],
-                [s.n_len for s in streams], tparams.audio_ctx)
+        return segments
 
-            prompts = []
-            for s in streams:
-                prompt: List[int] = []
-                if s.prompt_past and tparams.n_max_text_ctx > 0:
-                    n_take = min(tparams.n_max_text_ctx,
-                                 config.n_text_ctx // 2, len(s.prompt_past))
-                    prompt = [config.token_prev] + s.prompt_past[-n_take:]
-                prompts.append(prompt + prompt_init)
-
-            res = wd.decode_streams(
-                pipe.params, xkv, prompts,
-                seeks=[s.seek for s in streams],
-                seek_ends=[s.seek_end for s in streams],
-                temperature=tparams.temperature,
-                suppress_blank=tparams.suppress_blank,
-                no_timestamps=no_timestamps,
-                single_segment=tparams.single_segment,
-                max_tokens=tparams.max_tokens,
-                test_mode=(pipe.n_loaded == 0),
-                seed=tparams.seed)
-
-            for i in active:
-                s = streams[i]
-                rl = int(res.result_len[i])
-                ok = not bool(res.failed[i])
-                if ok and rl > 32:
-                    sc = score_sequence(res.tokens[i, :rl].tolist(),
-                                        res.tok_plog[i, :rl],
-                                        tparams.length_penalty)
-                    ok = sc.entropy >= tparams.entropy_thold
-
-                if not ok and tparams.temperature_inc > 0:
-                    # quality-gate fallback: run this stream's window
-                    # through the full per-stream ladder
-                    if s.mel_host is None:
-                        s.mel_host = np.asarray(
-                            mel_all[s.index])[:, :s.n_len]
-                    self._fallback_window(s, prompts[i], prompt_init,
-                                          tparams, no_timestamps)
-                    continue
-
-                # reuse the pipeline's segment emitter on this stream's row
-                pipe.segments = s.segments
-                pipe._samples = None
-                seek_delta, prompt_past = pipe._emit_segments(
-                    res, i, prompts[i], prompt_init, s.seek, tparams,
-                    no_timestamps)
-                s.prompt_past = prompt_past
-                s.seek += seek_delta
-                if s.seek + 100 >= s.seek_end:
-                    s.done = True
-
-        return [s.segments for s in streams]
-
-    def _fallback_window(self, s: _Stream, prompt: List[int],
-                         prompt_init: List[int],
-                         tparams: TranscribeParams,
-                         no_timestamps: bool) -> None:
-        """Per-stream temperature-ladder fallback for one window."""
-        pipe = self.ctx.pipeline
-        saved_segments = pipe.segments
-        saved_mel = pipe._mel_data
-        saved_n_len = pipe._n_len_org
-        saved_past = pipe._prompt_past
+    # -------------------------------------------------------------- emission
+    def _emit(self, outs, clips, segments, prompt_init, tparams,
+              no_timestamps, ts_states) -> None:
+        """Host segment emission per (stream, window) — reuses the
+        pipeline's parity-tested emitter; token-level timestamps run as the
+        standard per-stream energy post-pass (whisper.cpp:6315-6599), with
+        per-stream anchor state persisting across drain rounds."""
+        pipe: WhisperPipeline = self.ctx.pipeline
+        saved = (pipe.segments, pipe._samples, pipe._energy, pipe._ts_state)
         try:
-            pipe.segments = s.segments
-            pipe.set_mel(s.mel_host, s.n_len_org)
-            pipe._prompt_past = list(s.prompt_past)
-            p = dataclasses.replace(
-                tparams, offset_ms=s.seek * 10,
-                duration_ms=max((min(s.seek + 3000, s.seek_end) - s.seek)
-                               * 10, 0),
-                no_context=False)
-            before = len(s.segments)
-            pipe.full(p, None)
-            s.prompt_past = pipe._prompt_past
-            # advance past this window
-            if len(s.segments) > before and s.segments[-1].t1 > s.seek:
-                s.seek = max(s.seek + 100, s.segments[-1].t1)
-            else:
-                s.seek += 3000
-            if s.seek + 100 >= s.seek_end:
-                s.done = True
+            for b in range(len(clips)):
+                pipe.segments = segments[b]
+                if tparams.token_timestamps:
+                    from ..decode.timestamps import signal_energy
+                    pipe._samples = np.asarray(clips[b], dtype=np.float32)
+                    pipe._energy = signal_energy(pipe._samples, 32)
+                    pipe._ts_state = ts_states[b]
+                else:
+                    pipe._samples = None
+                    pipe._energy = None
+                for k in range(int(outs.w[b])):
+                    if not bool(outs.emitted[b, k]):
+                        continue
+                    res = outs.window_result(b, k)
+                    pipe._emit_segments(res, 0, [], prompt_init,
+                                        int(outs.seek[b, k]), tparams,
+                                        no_timestamps)
         finally:
-            pipe.segments = saved_segments
-            pipe._mel_data = saved_mel
-            pipe._n_len_org = saved_n_len
-            pipe._prompt_past = saved_past
+            (pipe.segments, pipe._samples, pipe._energy,
+             pipe._ts_state) = saved

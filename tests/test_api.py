@@ -123,4 +123,8 @@ def test_tracer_spans(tmp_path, nano_ctx, rng):
         tracer.clear()
     data = _json.load(open(path))
     names = {e["name"] for e in data["traceEvents"]}
-    assert {"mel", "encode_window", "decode_window"} <= names
+    # greedy best_of=1 routes through the device-resident clip loop (one
+    # span for the whole seek loop); other modes emit per-window spans
+    assert "mel" in names
+    assert ("decode_clip_device" in names
+            or {"encode_window", "decode_window"} <= names)

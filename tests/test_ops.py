@@ -66,23 +66,25 @@ def test_einsum_fallback_on_cpu():
 
 # ---------------------------------------------------------- cross-attn int8 --
 def _xattn_oracle(q, k_q, k_s, v_q, v_s):
-    """Float oracle: dequantize KV, dense attention (f64 softmax)."""
+    """Float oracle: dequantize head-major KV, dense attention
+    (f64 softmax).  k_q/v_q (B, H, Tk, D); k_s (B, H, Tk); v_s (B, H)."""
     D = q.shape[-1]
     kf = k_q.astype(np.float64) * k_s[..., None]
-    vf = v_q.astype(np.float64) * v_s[:, None, :, None]
-    s = np.einsum("bqhd,bkhd->bhqk", q.astype(np.float64), kf) / np.sqrt(D)
+    vf = v_q.astype(np.float64) * v_s[..., None, None]
+    s = np.einsum("bqhd,bhkd->bhqk", q.astype(np.float64), kf) / np.sqrt(D)
     p = np.exp(s - s.max(-1, keepdims=True))
     p /= p.sum(-1, keepdims=True)
-    return np.einsum("bhqk,bkhd->bqhd", p, vf)
+    return np.einsum("bhqk,bhkd->bqhd", p, vf)
 
 
 def _make_quant_kv(rng, B, Tk, H, D):
-    kf = rng.standard_normal((B, Tk, H, D)).astype(np.float32)
-    vf = rng.standard_normal((B, Tk, H, D)).astype(np.float32)
+    """Head-major quantized KV matching models.model.quantize_cross_kv."""
+    kf = rng.standard_normal((B, H, Tk, D)).astype(np.float32)
+    vf = rng.standard_normal((B, H, Tk, D)).astype(np.float32)
     k_s = np.abs(kf).max(-1) / 127.0 + 1e-9
     k_q = np.clip(np.round(kf / k_s[..., None]), -127, 127).astype(np.int8)
-    v_s = np.abs(vf).max(axis=(1, 3)) / 127.0 + 1e-9
-    v_q = np.clip(np.round(vf / v_s[:, None, :, None]),
+    v_s = np.abs(vf).max(axis=(2, 3)) / 127.0 + 1e-9
+    v_q = np.clip(np.round(vf / v_s[..., None, None]),
                   -127, 127).astype(np.int8)
     return k_q, k_s.astype(np.float32), v_q, v_s.astype(np.float32)
 
