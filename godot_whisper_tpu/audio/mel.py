@@ -240,6 +240,17 @@ class MelFrontend:
         self.filters = np.asarray(filters, dtype=np.float32)
         self.n_mels = self.filters.shape[0]
         self._filters_t = jnp.asarray(_pad_filters(self.filters))
+        self._filt256_cache = None
+
+    def _use_kernel(self) -> bool:
+        from ..ops.attention import use_pallas
+        return use_pallas()
+
+    def _filt256(self):
+        if self._filt256_cache is None:
+            from ..ops.mel_kernel import pad_filters_256
+            self._filt256_cache = pad_filters_256(self.filters)
+        return self._filt256_cache
 
     def device(self, samples: np.ndarray):
         """Device-resident mel: (jnp (n_mels, bucketed_frames), n_len).
@@ -254,8 +265,14 @@ class MelFrontend:
         # Bucket the padded length to 30 s multiples to bound jit cache size.
         bucket = -(-len(padded) // _CHUNK) * _CHUNK
         padded = np.pad(padded, (0, bucket - len(padded)))
-        mel = _log_mel_frames(jnp.asarray(padded.astype(np.float16)),
-                              _windowed_dft_basis(), self._filters_t)
+        if self._use_kernel():
+            from ..ops.mel_kernel import log_mel_pallas
+            mel = log_mel_pallas(
+                jnp.asarray(padded.astype(np.float16))[None],
+                self.filters, self._filt256())[0]
+        else:
+            mel = _log_mel_frames(jnp.asarray(padded.astype(np.float16)),
+                                  _windowed_dft_basis(), self._filters_t)
         return mel, min(n_len, mel.shape[1])
 
     def device_batch(self, clips):
@@ -271,9 +288,14 @@ class MelFrontend:
         stack = np.zeros((len(clips), bucket), dtype=np.float16)
         for i, p in enumerate(padded):
             stack[i, :len(p)] = p.astype(np.float16)
-        mel = _log_mel_frames_batched(jnp.asarray(stack),
-                                      _windowed_dft_basis(),
-                                      self._filters_t)
+        if self._use_kernel():
+            from ..ops.mel_kernel import log_mel_pallas
+            mel = log_mel_pallas(jnp.asarray(stack), self.filters,
+                                 self._filt256())
+        else:
+            mel = _log_mel_frames_batched(jnp.asarray(stack),
+                                          _windowed_dft_basis(),
+                                          self._filters_t)
         n_lens = [min(n, mel.shape[2]) for n in n_lens]
         return mel, n_lens
 

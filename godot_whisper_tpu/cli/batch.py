@@ -30,7 +30,23 @@ def main(argv=None) -> int:
     p.add_argument("--output-format", default="txt",
                    choices=["txt", "srt", "vtt", "json", "csv", "lrc"])
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host: coordinator address (or set "
+                        "GWT_COORDINATOR); run the same command on every "
+                        "host with GWT_PROCESS_ID/GWT_NUM_PROCESSES")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel width per host (multi-host mode)")
     args = p.parse_args(argv)
+
+    from godot_whisper_tpu.parallel import dist
+    multihost = bool(args.coordinator or os.environ.get("GWT_COORDINATOR"))
+    if multihost:
+        # must run before ANY jax computation
+        dist.initialize(coordinator_address=args.coordinator,
+                        num_processes=args.num_processes,
+                        process_id=args.process_id)
 
     import godot_whisper_tpu as gwt
     from godot_whisper_tpu.audio.resample import resample
@@ -67,7 +83,14 @@ def main(argv=None) -> int:
 
     tparams = gwt.TranscribeParams(language=args.language,
                                    print_progress=False)
-    bt = BatchTranscriber(ctx)
+    if multihost:
+        # each process takes an interleaved share of the file list; the
+        # stream batch itself is one dp-sharded dispatch across hosts
+        import jax
+        bt = dist.MultiHostBatchTranscriber(ctx, dist.stream_mesh(args.tp))
+        wavs = wavs[jax.process_index()::jax.process_count()]
+    else:
+        bt = BatchTranscriber(ctx)
 
     total_audio = 0.0
     t_start = time.perf_counter()

@@ -112,9 +112,178 @@ def bench_encoder(model: str, n_iter: int) -> None:
           f"({30.0 / dt:8.1f}x realtime encode)")
 
 
+def _loop_time(step, x0, consts=(), iters: int = 50) -> float:
+    """Per-iteration device time of ``x = step(x, *consts)`` amortized over
+    ``iters`` chained executions inside ONE jit — individual dispatches on
+    a tunneled runtime pay a ~25 ms host round trip, so microsecond-scale
+    kernels are only measurable loop-amortized."""
+    import jax
+    from jax import lax
+
+    @jax.jit
+    def run(x, *consts):
+        return lax.fori_loop(0, iters, lambda i, x: step(x, *consts), x)
+
+    jax.block_until_ready(run(x0, *consts))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(x0, *consts))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
+def bench_kernels() -> None:
+    """Roofline suite: per-kernel achieved FLOPS / bandwidth vs chip peak
+    (the whisper_bench_ggml_mul_mat analogue, whisper.cpp:6060-6296).
+
+    Prints one JSON line per kernel.  Peaks default to TPU v5e
+    (197 TFLOPS bf16, 819 GB/s HBM); override with GWT_PEAK_FLOPS /
+    GWT_PEAK_BW for other chips.
+    """
+    import json
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from godot_whisper_tpu.ops import attention
+    from godot_whisper_tpu.ops.qmatmul import (quant_matmul, quant_matmul4,
+                                               quantize_tensor,
+                                               quantize_tensor4)
+
+    peak_flops = float(os.environ.get("GWT_PEAK_FLOPS", 197e12))
+    peak_bw = float(os.environ.get("GWT_PEAK_BW", 819e9))
+    rng = np.random.default_rng(0)
+
+    def emit(kernel, us, value, unit, peak):
+        print(json.dumps({
+            "kernel": kernel, "us_per_call": round(us * 1e6, 1),
+            "achieved": round(value / 1e9, 1), "unit": unit,
+            "roofline_frac": round(value / peak, 3)}), flush=True)
+
+    # ---- flash attention: encoder self-attn shape (tiny.en, T padded 1536)
+    BH, T, D = 6, 1536, 64
+    q = jnp.asarray(rng.standard_normal((BH, T, D)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    k, v = q + 0.1, q - 0.1
+    scale = 1.0 / (D ** 0.5)
+    flops = 4 * BH * T * T * D
+
+    def step_flash(x, k, v):
+        return attention._flash_bhtd(x, k, v, scale, 1500).astype(x.dtype)
+
+    us = _loop_time(step_flash, q, (k, v))
+    emit("flash_attention (6,1536,64)", us, flops / us, "GFLOPS",
+         peak_flops)
+
+    def step_eins(x, k, v):
+        return attention._einsum_attention(x, k, v, scale)
+
+    us = _loop_time(step_eins, q, (k, v))
+    emit("einsum_attention (6,1536,64)", us, flops / us, "GFLOPS",
+         peak_flops)
+
+    # ---- weight-quantized matmul: large-v3 MLP-down shape, decode batch 8
+    S, O, B = 5120, 1280, 8
+    w = rng.standard_normal((S, O)).astype(np.float32) * 0.02
+    x0 = jnp.asarray(rng.standard_normal((B, S)).astype(np.float32)
+                     ).astype(jnp.bfloat16)
+
+    wb = jnp.asarray(w).astype(jnp.bfloat16)
+
+    def step_bf16(x, wb):
+        y = jnp.dot(x, wb, preferred_element_type=jnp.float32)
+        return x + (y * 1e-30)[:, :S].astype(x.dtype)
+
+    us = _loop_time(step_bf16, x0, (wb,))
+    emit(f"matmul bf16 ({S}x{O}, B={B})", us, S * O * 2 / us, "GB/s",
+         peak_bw)
+
+    qt8 = quantize_tensor(jnp.asarray(w), reduce_axis=0)
+
+    def step_q8(x, q, s):
+        from godot_whisper_tpu.ops.qmatmul import QuantTensor
+        y = quant_matmul(x, QuantTensor(q, s))
+        return x + (y * 1e-30)[:, :S].astype(x.dtype)
+
+    us = _loop_time(step_q8, x0, (qt8.q, qt8.s))
+    emit(f"quant_matmul int8 ({S}x{O}, B={B})", us, S * O / us, "GB/s",
+         peak_bw)
+
+    qt4 = quantize_tensor4(jnp.asarray(w))
+
+    def step_q4(x, q, s):
+        from godot_whisper_tpu.ops.qmatmul import Quant4Tensor
+        y = quant_matmul4(x, Quant4Tensor(q, s))
+        return x + (y * 1e-30)[:, :S].astype(x.dtype)
+
+    us = _loop_time(step_q4, x0, (qt4.q, qt4.s))
+    emit(f"quant_matmul4 int4 ({S}x{O}, B={B})", us, S * O // 2 / us,
+         "GB/s", peak_bw)
+
+    # ---- fused filter+sample over the full vocab
+    from godot_whisper_tpu.ops.filter_sample import fused_filter_sample
+    B, V = 8, 51864
+    logits0 = jnp.asarray(
+        rng.standard_normal((B, V)).astype(np.float32))
+    sup = jnp.zeros((V,), bool)
+
+    def step_fs(lg, sup):
+        out = fused_filter_sample(
+            lg, sup,
+            is_initial=jnp.zeros((B,), bool),
+            last_token=jnp.full((B,), 100, jnp.int32),
+            penult_token=jnp.full((B,), 90, jnp.int32),
+            n_tokens=jnp.full((B,), 5, jnp.int32),
+            has_ts=jnp.zeros((B,), bool),
+            seek_delta=jnp.full((B,), 3000, jnp.int32),
+            temperature=jnp.float32(0.0),
+            seeds=jnp.arange(B, dtype=jnp.int32),
+            eot=50256, beg=50363, space_id=220, max_initial_tid=50413,
+            suppress_blank=True, no_timestamps=False, argmax_sample=True)
+        return lg + (out.plog * 1e-30)[:, None]
+
+    us = _loop_time(step_fs, logits0, (sup,), iters=30)
+    emit(f"fused_filter_sample (B={B}, V={V})", us, B * V * 4 / us,
+         "GB/s", peak_bw)
+
+    # ---- mel frontend: 30 s window, pallas kernel vs jnp matmul path
+    from godot_whisper_tpu.audio import mel as melmod
+    from godot_whisper_tpu.ops import mel_kernel
+    filters = melmod.mel_filterbank(80)
+    padded = melmod.pad_audio(np.zeros(30 * 16000, np.float32))
+    bucket = -(-len(padded) // melmod._CHUNK) * melmod._CHUNK
+    padded = np.pad(padded, (0, bucket - len(padded))).astype(np.float16)
+    L = len(padded)
+    n_frames = (L - 400) // 160 + 1
+    mel_flops = 2 * n_frames * 480 * 512 + 2 * n_frames * 256 * 128
+    x0 = jnp.asarray(padded)[None]
+    basis = mel_kernel.dft_basis_512()
+    filt = mel_kernel.pad_filters_256(filters)
+
+    def step_mel_pallas(x, basis, filt):
+        out = mel_kernel._log_mel_pallas(x, basis, filt, n_frames, 80)
+        return x + jnp.mean(out).astype(x.dtype) * 1e-30
+
+    us = _loop_time(step_mel_pallas, x0, (basis, filt), iters=30)
+    emit("mel pallas (30s)", us, mel_flops / us, "GFLOPS", peak_flops)
+
+    jb = melmod._windowed_dft_basis()
+    jf = jnp.asarray(melmod._pad_filters(filters))
+
+    def step_mel_jnp(x, jb, jf):
+        out = melmod._log_mel_frames_batched(x, jb, jf)
+        return x + jnp.mean(out).astype(x.dtype) * 1e-30
+
+    us = _loop_time(step_mel_jnp, x0, (jb, jf), iters=30)
+    emit("mel jnp (30s)", us, mel_flops / us, "GFLOPS", peak_flops)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="gwt-bench")
-    p.add_argument("--what", choices=["encoder", "memcpy", "matmul", "e2e"],
+    p.add_argument("--what",
+                   choices=["encoder", "memcpy", "matmul", "e2e", "kernels"],
                    default="encoder")
     p.add_argument("-m", "--model", default="tiny.en")
     p.add_argument("-n", "--iterations", type=int, default=8)
@@ -129,6 +298,8 @@ def main(argv=None) -> int:
         bench_memcpy()
     elif args.what == "matmul":
         bench_matmul()
+    elif args.what == "kernels":
+        bench_kernels()
     elif args.what == "e2e":
         import subprocess
         return subprocess.call([sys.executable, "bench.py"])

@@ -194,11 +194,16 @@ class ClipDecoder:
     # ------------------------------------------------------------------ state
     def init_state(self, mel: jax.Array, n_lens, seeks, seek_ends,
                    past_init: Optional[List[List[int]]] = None,
-                   n_filled=None, final=None) -> ClipState:
-        """Build a fresh state around a device-resident mel buffer
-        (B, n_mels, F_cap)."""
+                   n_filled=None, final=None, batch: Optional[int] = None,
+                   to_device: bool = True) -> ClipState:
+        """Build a fresh state around a mel buffer (B, n_mels, F_cap).
+
+        ``batch``/``to_device=False`` build a HOST state over a local row
+        block — the multi-host path (parallel/dist.py) assembles these into
+        one dp-sharded global state."""
         st = self.statics
-        B, W, N = st.batch, st.w_total, self.n_max
+        B, W, N = (batch if batch is not None else st.batch,
+                   st.w_total, self.n_max)
         assert mel.shape[0] == B, (mel.shape, B)
         i32 = functools.partial(np.asarray, dtype=np.int32)
         past_buf = np.zeros((B, self.past_cap), np.int32)
@@ -208,29 +213,31 @@ class ClipDecoder:
             past_buf[b, :len(tail)] = tail
             past_cnt[b] = len(tail)
         n_lens = i32(n_lens)
+        wrap = jnp.asarray if to_device else np.asarray
+        zeros = jnp.zeros if to_device else np.zeros
         return ClipState(
-            mel=mel, n_len=jnp.asarray(n_lens),
-            n_filled=jnp.asarray(i32(n_filled) if n_filled is not None
-                                 else n_lens),
-            final=jnp.asarray(np.asarray(final) if final is not None
-                              else np.ones(B, bool)),
-            seek=jnp.asarray(i32(seeks)), seek_start=jnp.asarray(i32(seeks)),
-            seek_end=jnp.asarray(i32(seek_ends)),
-            done=jnp.zeros(B, bool),
-            past_buf=jnp.asarray(past_buf), past_cnt=jnp.asarray(past_cnt),
-            w=jnp.zeros(B, jnp.int32),
-            out_tokens=jnp.zeros((B, W, N), jnp.int32),
-            out_p=jnp.zeros((B, W, N), jnp.float32),
-            out_plog=jnp.zeros((B, W, N), jnp.float32),
-            out_pt=jnp.zeros((B, W, N), jnp.float32),
-            out_ptsum=jnp.zeros((B, W, N), jnp.float32),
-            out_tid=jnp.zeros((B, W, N), jnp.int32),
-            out_rl=jnp.zeros((B, W), jnp.int32),
-            out_seek=jnp.zeros((B, W), jnp.int32),
-            out_delta=jnp.zeros((B, W), jnp.int32),
-            out_emitted=jnp.zeros((B, W), bool),
-            out_temp=jnp.zeros((B, W), jnp.float32),
-            out_steps=jnp.zeros((B, W), jnp.int32),
+            mel=mel, n_len=wrap(n_lens),
+            n_filled=wrap(i32(n_filled) if n_filled is not None
+                          else n_lens),
+            final=wrap(np.asarray(final) if final is not None
+                       else np.ones(B, bool)),
+            seek=wrap(i32(seeks)), seek_start=wrap(i32(seeks)),
+            seek_end=wrap(i32(seek_ends)),
+            done=zeros(B, bool),
+            past_buf=wrap(past_buf), past_cnt=wrap(past_cnt),
+            w=zeros(B, np.int32),
+            out_tokens=zeros((B, W, N), np.int32),
+            out_p=zeros((B, W, N), np.float32),
+            out_plog=zeros((B, W, N), np.float32),
+            out_pt=zeros((B, W, N), np.float32),
+            out_ptsum=zeros((B, W, N), np.float32),
+            out_tid=zeros((B, W, N), np.int32),
+            out_rl=zeros((B, W), np.int32),
+            out_seek=zeros((B, W), np.int32),
+            out_delta=zeros((B, W), np.int32),
+            out_emitted=zeros((B, W), bool),
+            out_temp=zeros((B, W), np.float32),
+            out_steps=zeros((B, W), np.int32),
         )
 
     @staticmethod

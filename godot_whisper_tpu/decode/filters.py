@@ -31,7 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-_NEG_INF = jnp.float32(-np.inf)
+_NEG_INF = np.float32(-np.inf)  # np: keep import free of backend init (multi-host needs jax.distributed.initialize first)
 
 
 class FilterContext(NamedTuple):

@@ -180,10 +180,17 @@ def _sample_beam(st: LoopState, statics: WindowStatics, fctx: FilterContext):
     order = jnp.argsort(-flat_scores)                       # stable desc
     sorted_scores = flat_scores[order]
 
-    # equal-score dedupe active when i > 0 (whisper.cpp:5393)
-    neq = jnp.concatenate([jnp.array([True]),
-                           sorted_scores[1:] != sorted_scores[:-1]])
-    starts = jnp.where(st.i > 0, neq, jnp.ones_like(neq))
+    # equal-score dedupe (whisper.cpp:5393).  The reference guards it with
+    # i > 0 because its beam expansion SAMPLES candidates (equal draws
+    # across the identical step-0 beams are legitimate); with this
+    # implementation's deterministic top-k expansion the guard would make
+    # every beam take the same argmax token at step 0 (degenerating the
+    # search to greedy for one step), so the dedupe is active from step 0 —
+    # all beams share state at step 0, dedupe collapses the K identical
+    # candidate sets to the top-K DISTINCT tokens, exactly the textbook
+    # (and HF-validated, tests/test_decode_parity.py) first expansion.
+    starts = jnp.concatenate([jnp.array([True]),
+                              sorted_scores[1:] != sorted_scores[:-1]])
     group_rank = jnp.cumsum(starts) - 1                     # (B*K,)
     n_groups = jnp.maximum(jnp.sum(starts), 1)
     # first sorted position of each group

@@ -31,6 +31,8 @@ from __future__ import annotations
 import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -41,7 +43,7 @@ from ..ops.qmatmul import (QuantTensor, Quant4Tensor, quant_matmul,
 
 Params = Dict[str, Any]
 
-_NEG_INF = jnp.float32(-1e30)
+_NEG_INF = np.float32(-1e30)  # np: a module-level jnp constant initializes the backend at import, breaking jax.distributed.initialize
 
 
 def param_compute_dtype(params: Params):

@@ -2,18 +2,24 @@
 (/root/reference/thirdparty/whisper.cpp/whisper.cpp:5817-5930).
 
 The reference spawns one host thread + one whisper_state per contiguous
-audio chunk.  On TPU the same shape is expressed as sequential window
-decodes against a single resident weight set (chunk boundaries keep the
-reference's semantics: timestamps offset by the chunk start, a trailing
-overlap warning applies equally).  True multi-stream throughput parallelism
-lives in ``parallel/batch.py`` (batched utterance streams — the design the
-reference cannot express), this module exists for API parity and for
-single-stream latency splitting.
+audio chunk.  The TPU-native equivalent is BATCHED chunks: eligible
+(greedy) transcriptions stack the chunks on the batch axis and decode them
+concurrently in the device-resident clip loop (parallel/batch.py) — one
+dispatch drives every chunk's seek loop at once, the chip-side analogue of
+the reference's thread-per-chunk.  Host-interactive decode modes
+(beam/best_of ranking, grammar, callbacks) fall back to sequential chunk
+decodes with identical merge semantics.
+
+Chunk boundaries keep the reference's behavior: timestamps offset by the
+chunk start (whisper.cpp:5877-5896) and the same boundary-quality caveat
+applies (:5927).  True multi-stream throughput parallelism (independent
+utterances, no boundary loss) lives in ``parallel/batch.py``.
 """
 
 from __future__ import annotations
 
 import copy
+from types import SimpleNamespace
 from typing import List
 
 import numpy as np
@@ -24,34 +30,37 @@ from ..decode.params import TranscribeParams
 
 def full_parallel(pipeline, tparams: TranscribeParams,
                   samples: np.ndarray, n_processors: int) -> List:
-    """Split samples into n contiguous chunks, transcribe each, merge
+    """Split samples into n contiguous chunks, transcribe them
+    CONCURRENTLY (batched on the chip) when the decode mode allows, merge
     segments with timestamp offsets (whisper.cpp:5877-5919)."""
     if n_processors <= 1:
         return pipeline.full(tparams, samples)
 
     n = len(samples)
     offset_samples = (SAMPLE_RATE * tparams.offset_ms) // 1000
-    n_samples_per_processor = (n - offset_samples) // n_processors
+    per = (n - offset_samples) // n_processors
 
-    # chunk 0 keeps the caller's offset; later chunks start fresh
+    starts = [offset_samples + i * per for i in range(n_processors)]
+    ends = [n if i == n_processors - 1 else starts[i] + per
+            for i in range(n_processors)]
+    chunks = [np.asarray(samples[s:e]) for s, e in zip(starts, ends)]
+
+    p = copy.copy(tparams)
+    p.offset_ms = 0        # chunk slicing already applied the offset
+    p.duration_ms = 0
+    p.print_progress = False
+
+    from .batch import BatchTranscriber
+    bt = BatchTranscriber(SimpleNamespace(pipeline=pipeline,
+                                          config=pipeline.config))
+    # eligible (greedy) modes run as ONE batched dispatch decoding every
+    # chunk's window loop at once; host-interactive modes fall back to
+    # sequential per-chunk decodes inside BatchTranscriber
+    results = bt.transcribe(chunks, p)
+
     all_segments = []
-    offset_t = 0
-
-    params_cur = copy.copy(tparams)
-    params_cur.offset_ms = tparams.offset_ms
-    params_cur.print_progress = False
-
-    for i in range(n_processors):
-        start = offset_samples + i * n_samples_per_processor
-        end = n if i == n_processors - 1 else (
-            offset_samples + (i + 1) * n_samples_per_processor)
-        p = copy.copy(params_cur)
-        if i > 0:
-            p.offset_ms = 0
-        chunk = samples[start:end]
-
-        segs = pipeline.full(p, chunk)
-        offset_t = (100 * start) // SAMPLE_RATE
+    for i, segs in enumerate(results):
+        offset_t = (100 * starts[i]) // SAMPLE_RATE
         for s in segs:
             s2 = copy.deepcopy(s)
             s2.t0 += offset_t
