@@ -112,25 +112,40 @@ def bench_encoder(model: str, n_iter: int) -> None:
           f"({30.0 / dt:8.1f}x realtime encode)")
 
 
-def _loop_time(step, x0, consts=(), iters: int = 50) -> float:
+def _loop_time(step, x0, consts=(), iters: int = 1000) -> float:
     """Per-iteration device time of ``x = step(x, *consts)`` amortized over
-    ``iters`` chained executions inside ONE jit — individual dispatches on
-    a tunneled runtime pay a ~25 ms host round trip, so microsecond-scale
-    kernels are only measurable loop-amortized."""
+    ``iters`` chained executions inside ONE jit.
+
+    Synchronization is a 4-byte device_get of a reduction of the result —
+    on tunneled runtimes ``block_until_ready`` does NOT round-trip (it
+    reported a 3.6 GFLOP attention at 6x chip peak), so the only reliable
+    fence is pulling data.  The measured host round trip (timed on a
+    trivial executable) is subtracted."""
     import jax
+    import jax.numpy as jnp
     from jax import lax
 
     @jax.jit
     def run(x, *consts):
-        return lax.fori_loop(0, iters, lambda i, x: step(x, *consts), x)
+        x = lax.fori_loop(0, iters, lambda i, x: step(x, *consts), x)
+        return jnp.sum(x.astype(jnp.float32))
 
-    jax.block_until_ready(run(x0, *consts))  # compile + warm
+    @jax.jit
+    def trivial(x):
+        return jnp.sum(x.astype(jnp.float32))
+
+    float(run(x0, *consts))     # compile + warm
+    float(trivial(x0))
+    rtt = float("inf")
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(x0, *consts))
+        float(trivial(x0))
+        rtt = min(rtt, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(run(x0, *consts))
         best = min(best, time.perf_counter() - t0)
-    return best / iters
+    return max(best - rtt, 1e-9) / iters
 
 
 def bench_kernels() -> None:
@@ -194,7 +209,7 @@ def bench_kernels() -> None:
 
     def step_bf16(x, wb):
         y = jnp.dot(x, wb, preferred_element_type=jnp.float32)
-        return x + (y * 1e-30)[:, :S].astype(x.dtype)
+        return x + (jnp.sum(y) * 1e-30).astype(x.dtype)
 
     us = _loop_time(step_bf16, x0, (wb,))
     emit(f"matmul bf16 ({S}x{O}, B={B})", us, S * O * 2 / us, "GB/s",
@@ -205,7 +220,7 @@ def bench_kernels() -> None:
     def step_q8(x, q, s):
         from godot_whisper_tpu.ops.qmatmul import QuantTensor
         y = quant_matmul(x, QuantTensor(q, s))
-        return x + (y * 1e-30)[:, :S].astype(x.dtype)
+        return x + (jnp.sum(y) * 1e-30).astype(x.dtype)
 
     us = _loop_time(step_q8, x0, (qt8.q, qt8.s))
     emit(f"quant_matmul int8 ({S}x{O}, B={B})", us, S * O / us, "GB/s",
@@ -216,7 +231,7 @@ def bench_kernels() -> None:
     def step_q4(x, q, s):
         from godot_whisper_tpu.ops.qmatmul import Quant4Tensor
         y = quant_matmul4(x, Quant4Tensor(q, s))
-        return x + (y * 1e-30)[:, :S].astype(x.dtype)
+        return x + (jnp.sum(y) * 1e-30).astype(x.dtype)
 
     us = _loop_time(step_q4, x0, (qt4.q, qt4.s))
     emit(f"quant_matmul4 int4 ({S}x{O}, B={B})", us, S * O // 2 / us,
@@ -244,7 +259,7 @@ def bench_kernels() -> None:
             suppress_blank=True, no_timestamps=False, argmax_sample=True)
         return lg + (out.plog * 1e-30)[:, None]
 
-    us = _loop_time(step_fs, logits0, (sup,), iters=30)
+    us = _loop_time(step_fs, logits0, (sup,), iters=500)
     emit(f"fused_filter_sample (B={B}, V={V})", us, B * V * 4 / us,
          "GB/s", peak_bw)
 
@@ -266,7 +281,7 @@ def bench_kernels() -> None:
         out = mel_kernel._log_mel_pallas(x, basis, filt, n_frames, 80)
         return x + jnp.mean(out).astype(x.dtype) * 1e-30
 
-    us = _loop_time(step_mel_pallas, x0, (basis, filt), iters=30)
+    us = _loop_time(step_mel_pallas, x0, (basis, filt), iters=200)
     emit("mel pallas (30s)", us, mel_flops / us, "GFLOPS", peak_flops)
 
     jb = melmod._windowed_dft_basis()
@@ -276,7 +291,7 @@ def bench_kernels() -> None:
         out = melmod._log_mel_frames_batched(x, jb, jf)
         return x + jnp.mean(out).astype(x.dtype) * 1e-30
 
-    us = _loop_time(step_mel_jnp, x0, (jb, jf), iters=30)
+    us = _loop_time(step_mel_jnp, x0, (jb, jf), iters=200)
     emit("mel jnp (30s)", us, mel_flops / us, "GFLOPS", peak_flops)
 
 

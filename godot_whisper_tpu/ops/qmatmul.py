@@ -148,25 +148,29 @@ def dequantize4(qt: Quant4Tensor) -> jax.Array:
     return w.reshape(*lead, 2 * S2, O)
 
 
-def _q4mm_kernel(x_ref, w_ref, s_ref, o_ref, *, group: int, n_g: int):
-    """One (row-block, col-block) program: per group, split nibbles +
-    rebias in VMEM, contract the G-row slab on the MXU (G=128 fills the
-    systolic array's K dimension), scale the partial product."""
+def _q4mm_kernel(x_ref, w_ref, s_ref, o_ref):
+    """One (row-block, col-block, group) program: split nibbles + rebias
+    in VMEM, contract the G-row slab on the MXU (G=128 fills the systolic
+    array's K dimension), scale, accumulate into the revisited output
+    block.  The group loop rides the (innermost) grid dimension — Mosaic
+    cannot lower value-level dynamic slices inside an in-kernel loop, and
+    grid-level accumulation double-buffers the weight DMAs for free."""
+    g = pl.program_id(2)
+    wp = w_ref[...].astype(jnp.int32)
+    w = jnp.concatenate([wp & 0xF, wp >> 4], axis=0) - 8    # (G, BO)
     x = x_ref[...]
-    bb, _ = x.shape
-    bo = o_ref.shape[-1]
+    p = lax.dot_general(x, w.astype(x.dtype),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+    p = p * s_ref[...]                                      # (1, BO) bcast
 
-    def body(g, acc):
-        wp = w_ref[pl.ds(g * (group // 2), group // 2), :].astype(jnp.int32)
-        w = jnp.concatenate([wp & 0xF, wp >> 4], axis=0) - 8  # (G, BO)
-        xg = lax.dynamic_slice_in_dim(x, g * group, group, 1)
-        p = lax.dot_general(xg, w.astype(x.dtype),
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-        return acc + p * s_ref[pl.ds(g, 1), :]                # (1,BO) bcast
+    @pl.when(g == 0)
+    def _init():
+        o_ref[...] = p
 
-    acc = jnp.zeros((bb, bo), jnp.float32)
-    o_ref[...] = lax.fori_loop(0, n_g, body, acc)
+    @pl.when(g > 0)
+    def _acc():
+        o_ref[...] += p
 
 
 @functools.partial(jax.jit, static_argnames=("group", "interpret"))
@@ -177,19 +181,19 @@ def _q4mm_2d(x: jax.Array, q: jax.Array, s: jax.Array, *, group: int,
     n_g = S // group
     BO = _pick_bo(S // 2, O)
     BB = _pick_bb(B)
-    grid = (pl.cdiv(B, BB), pl.cdiv(O, BO))
+    grid = (pl.cdiv(B, BB), pl.cdiv(O, BO), n_g)
     return pl.pallas_call(
-        functools.partial(_q4mm_kernel, group=group, n_g=n_g),
+        _q4mm_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BB, S), lambda i, j: (i, 0),
+            pl.BlockSpec((BB, group), lambda i, j, g: (i, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S // 2, BO), lambda i, j: (0, j),
+            pl.BlockSpec((group // 2, BO), lambda i, j, g: (g, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_g, BO), lambda i, j: (0, j),
+            pl.BlockSpec((1, BO), lambda i, j, g: (g, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BB, BO), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((BB, BO), lambda i, j, g: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, O), jnp.float32),
         cost_estimate=pl.CostEstimate(
