@@ -94,7 +94,18 @@ def main(argv=None) -> int:
 
     total_audio = 0.0
     t_start = time.perf_counter()
-    for i in range(0, len(wavs), args.batch_size):
+    n_rounds_local = len(wavs)
+    if multihost:
+        # every process MUST run the same number of transcribe() rounds —
+        # each round is a collective (allgather + SPMD dispatch), so a
+        # process with fewer local files iterating fewer rounds deadlocks
+        # the others.  Agree on the max and run surplus rounds with an
+        # empty local group (transcribe pads ragged counts internally).
+        from godot_whisper_tpu.parallel.dist import _allgather_host
+        import numpy as _np
+        n_rounds_local = int(_allgather_host(
+            _np.asarray([len(wavs)], _np.int32)).max())
+    for i in range(0, n_rounds_local, args.batch_size):
         group = wavs[i:i + args.batch_size]
         clips = []
         for wav in group:

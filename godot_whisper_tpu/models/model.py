@@ -279,6 +279,10 @@ def decoder_forward(
     logit_rows: Optional[jax.Array] = None,  # (B,) — only these T-positions
     seq_from_zero: bool = False,  # positions == arange(T): KV write is a
                                   # static-offset slice update, not a scatter
+    slot: Optional[jax.Array] = None,  # scalar cache slot: every row's new
+                                       # KV lands at the SAME slot — a
+                                       # dynamic_update_slice, not a scatter
+    unroll: int = 1,          # layer-scan unroll factor
 ) -> Tuple[jax.Array, KVCache]:
     """Decoder over T new tokens per batch row; returns (logits, new kv).
 
@@ -334,6 +338,15 @@ def decoder_forward(
             kv_v = lax.dynamic_update_slice_in_dim(
                 kv_v, v_new.transpose(0, 2, 1, 3).astype(kv_v.dtype),
                 0, axis=2)
+        elif slot is not None:
+            # uniform-slot write: one dynamic_update_slice on the seq axis
+            # (in-place on TPU) instead of a B-row scatter
+            kv_k = lax.dynamic_update_slice_in_dim(
+                kv_k, k_new.transpose(0, 2, 1, 3).astype(kv_k.dtype),
+                slot, axis=2)
+            kv_v = lax.dynamic_update_slice_in_dim(
+                kv_v, v_new.transpose(0, 2, 1, 3).astype(kv_v.dtype),
+                slot, axis=2)
         else:
             # advanced (B,1)+(B,T) indices around the sliced head axis:
             # result group leads -> update shape (B, T, H, Dh) == k_new
@@ -368,7 +381,7 @@ def decoder_forward(
               else (xkv.k, xkv.v))
     x, (new_k, new_v) = lax.scan(
         lambda c, inp: one_layer(c, inp), x,
-        (blocks, kv.k, kv.v, xkv_xs))
+        (blocks, kv.k, kv.v, xkv_xs), unroll=unroll)
 
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"]).astype(cdtype)
     if logit_rows is not None:

@@ -47,7 +47,9 @@ def full_parallel(pipeline, tparams: TranscribeParams,
 
     p = copy.copy(tparams)
     p.offset_ms = 0        # chunk slicing already applied the offset
-    p.duration_ms = 0
+    # duration_ms rides into each chunk's decode unchanged — the reference
+    # copies params wholesale per worker (whisper.cpp:5845-5853), so a
+    # caller-set duration limits every chunk's decode window
     p.print_progress = False
 
     from .batch import BatchTranscriber

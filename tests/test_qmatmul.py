@@ -225,7 +225,12 @@ def test_quantize_decoder_int4_fallback_reported():
     assert modes["blocks.mlp.w1"] == "int4"    # 4*96=384 divides 128
 
 
-def test_int4_decoder_forward_close_to_f32(cfg, rng):
+def test_int4_decoder_forward_close_to_f32(cfg):
+    # local deterministic rng: the shared session-scoped fixture's stream
+    # position depends on which tests ran before this one, which made the
+    # measured rel error drift run-to-run (0.19-0.26) — the variance was
+    # input selection, not numerics
+    rng = np.random.default_rng(4242)
     p = init_params(cfg, seed=0, compute_dtype=jnp.float32)
     pq = quantize_decoder_int4(p)
     mel = jnp.asarray(rng.standard_normal(
@@ -246,11 +251,12 @@ def test_int4_decoder_forward_close_to_f32(cfg, rng):
     b = fwd(pq, param_compute_dtype(pq))
     rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
     # int4 on random gaussian weights is a worst case (flat spectrum):
-    # ~0.19-0.26 rel depending on jit cache state; trained checkpoints
+    # deterministic 0.2146 rel for this seeded input; trained checkpoints
     # land far lower.  Exact kernel==fallback equality is asserted in
-    # test_quant_matmul4_kernel_matches_fallback; this is a loose
-    # end-to-end quality bound only.
-    assert rel < 0.3, rel
+    # test_quant_matmul4_kernel_matches_fallback; this bound pins the
+    # seeded case with a small headroom for cross-backend accumulation
+    # order (CPU vs TPU).
+    assert rel < 0.23, rel
 
 
 def test_int4_full_pipeline():
