@@ -221,8 +221,8 @@ class WhisperContext:
         decoder over ``tokens`` against the encoder output at ``seek`` and
         return the logits of the last token.  Requires audio/mel set."""
         import jax.numpy as jnp
-        from .models.model import (causal_prompt_mask, decoder_forward,
-                                   init_kv_cache, param_compute_dtype)
+        from .models.model import (decoder_dense, init_kv_cache,
+                                   param_compute_dtype)
 
         _, xkv = self._p.encode_window(seek)
         config = self._p.config
@@ -233,9 +233,8 @@ class WhisperContext:
         arr = jnp.asarray([toks], dtype=jnp.int32)
         positions = jnp.broadcast_to(
             jnp.arange(n_past, n_past + T, dtype=jnp.int32), (1, T))
-        mask = causal_prompt_mask(config, jnp.int32(n_past + T), T, 1)
-        logits, _ = decoder_forward(self._p.params, config, arr, positions,
-                                    kv, xkv, mask)
+        logits, _ = decoder_dense(self._p.params, config, arr, positions,
+                                  kv, xkv, n_valid=T, start=n_past)
         return np.asarray(logits[0, -1])
 
     # ---------------------------------------------------------------- tokenize

@@ -355,7 +355,7 @@ class ClipDecoder:
                 prompt, n_prompt, n_take, used_past = build_prompt(
                     st.past_buf, past_cnt, use_past_arr[t_idx], init_tokens)
                 last_logits, kv = prompt_pass_per_stream(
-                    params, config, prompt, n_prompt, xkv)
+                    params, config, prompt, n_prompt, xkv, n_max=N_MAX)
                 # same per-attempt seeding as the host ladder
                 # (loop.py: seed + attempt index)
                 rng = jax.random.PRNGKey(statics.seed + t_idx)

@@ -22,9 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models.config import WhisperConfig
-from ..models.model import (CrossKV, causal_prompt_mask, decoder_forward,
-                            param_compute_dtype,
-                            init_kv_cache, step_mask)
+from ..models.model import (CrossKV, decoder_dense, decoder_step,
+                            param_compute_dtype, init_kv_cache)
 from .filters import FilterContext, process_logits, timestamp_stats
 from .grammar import Grammar
 from .window import SEEK_DELTA_FULL, WindowResult
@@ -50,9 +49,9 @@ class HostWindowDecoder:
                 kv = init_kv_cache(
                     config, 1, dtype=param_compute_dtype(params))
                 positions = jnp.arange(P, dtype=jnp.int32)[None]
-                mask = causal_prompt_mask(config, n_prompt, P, 1)
-                logits, kv = decoder_forward(params, config, prompt[None],
-                                             positions, kv, xkv, mask)
+                logits, kv = decoder_dense(params, config, prompt[None],
+                                           positions, kv, xkv,
+                                           n_valid=n_prompt)
                 return logits[0, n_prompt - 1], kv
 
             fn = jax.jit(prompt_pass)
@@ -64,12 +63,13 @@ class HostWindowDecoder:
             config = self.config
 
             def step(params, xkv, kv, token, n_past):
-                mask = step_mask(config, n_past[None], 1).reshape(
-                    1, 1, 1, config.n_text_ctx)
-                logits, kv = decoder_forward(
-                    params, config, token.reshape(1, 1),
-                    n_past.reshape(1, 1), kv, xkv, mask)
-                return logits[0, 0], kv
+                # contiguous incremental cache: slot == position, window
+                # [0, n_past] (split=0 collapses the gap)
+                logits, kv = decoder_step(
+                    params, config, token.reshape(1), n_past.reshape(1),
+                    kv, xkv, lo=jnp.zeros(1, jnp.int32), slot=n_past,
+                    split=0)
+                return logits[0], kv
 
             self._step_jit = jax.jit(step)
         return self._step_jit
@@ -107,8 +107,7 @@ class HostWindowDecoder:
         prompt_arr[:P] = prompt_tokens
 
         raw_logits, kv = self._prompt_fn(pad)(
-            params, CrossKV(k=xkv.k[:, :1], v=xkv.v[:, :1]),
-            jnp.asarray(prompt_arr), jnp.int32(P))
+            params, _xkv1(xkv), jnp.asarray(prompt_arr), jnp.int32(P))
 
         tokens: List[int] = []
         tok_data = {k: [] for k in ("p", "plog", "pt", "ptsum", "tid")}
@@ -206,7 +205,7 @@ class HostWindowDecoder:
                 break
 
             raw_logits, kv = step(
-                params, CrossKV(k=xkv.k[:, :1], v=xkv.v[:, :1]), kv,
+                params, _xkv1(xkv), kv,
                 jnp.int32(tok_id), jnp.int32(P + i))
 
         n = len(tokens)
@@ -231,6 +230,10 @@ class HostWindowDecoder:
             result_len=np.asarray([result_len], dtype=np.int32),
             sum_logprobs_all=np.asarray([sum_logprobs], dtype=np.float32),
             n_steps=n)
+
+
+def _xkv1(xkv: CrossKV) -> CrossKV:
+    return CrossKV(k=xkv.k[:, :1], v=xkv.v[:, :1], t_valid=xkv.t_valid)
 
 
 def _renormalize(logits: np.ndarray):

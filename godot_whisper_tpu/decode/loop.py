@@ -24,9 +24,8 @@ import jax.numpy as jnp
 from ..audio.mel import MelFrontend, frame_counts
 from ..audio.tokenizer import Tokenizer
 from ..models.config import WhisperConfig, MAX_DECODERS
-from ..models.model import (CrossKV, causal_prompt_mask, cross_kv,
-                            param_compute_dtype,
-                            decoder_forward, encoder_forward,
+from ..models.model import (CrossKV, cross_kv, param_compute_dtype,
+                            decoder_dense, encoder_forward,
                             init_kv_cache, quantize_cross_kv)
 from ..runtime.metrics import Timings
 from ..runtime.trace import tracer
@@ -123,7 +122,7 @@ class WhisperPipeline:
                                       audio_ctx=audio_ctx)
                 xkv = cross_kv(params, config, enc)
                 if quant_kv:
-                    xkv = quantize_cross_kv(xkv)
+                    xkv = quantize_cross_kv(xkv, config.n_text_head)
                 return enc, xkv
 
             fn = jax.jit(encode)
@@ -175,9 +174,8 @@ class WhisperPipeline:
                            dtype=param_compute_dtype(self.params))
         tokens = jnp.asarray([[config.token_sot]], dtype=jnp.int32)
         positions = jnp.zeros((1, 1), dtype=jnp.int32)
-        mask = causal_prompt_mask(config, jnp.int32(1), 1, 1)
-        logits, _ = decoder_forward(self.params, config, tokens, positions,
-                                    kv, xkv, mask)
+        logits, _ = decoder_dense(self.params, config, tokens, positions,
+                                  kv, xkv, n_valid=1)
         return detect_language_from_logits(np.asarray(logits[0, 0]),
                                            config)
 

@@ -41,9 +41,8 @@ from jax import lax
 
 from ..models.config import WhisperConfig
 from ..models.model import (CrossKV, KVCache, QuantCrossKV,
-                            param_compute_dtype,
-                            causal_prompt_mask, decoder_forward,
-                            init_kv_cache, reorder_kv_cache, step_mask)
+                            param_compute_dtype, decoder_dense,
+                            decoder_step, init_kv_cache, reorder_kv_cache)
 from ..ops.attention import use_pallas
 from ..ops.filter_sample import fused_filter_sample
 from .filters import FilterContext, process_logits, timestamp_stats
@@ -52,8 +51,10 @@ SEEK_DELTA_FULL = 3000  # 100 * WHISPER_CHUNK_SIZE (whisper.cpp:5222)
 
 
 def _xkv_map(xkv, fn):
-    """Apply fn to every array of a CrossKV/QuantCrossKV."""
-    return type(xkv)(*(fn(a) for a in xkv))
+    """Apply fn to every BATCHED array of a CrossKV/QuantCrossKV (the
+    scalar t_valid field rides through untouched)."""
+    return type(xkv)(*(fn(a) if getattr(a, "ndim", 0) > 1 else a
+                       for a in xkv))
 
 
 def _xkv_slice_one(xkv):
@@ -238,35 +239,44 @@ def _sample_beam(st: LoopState, statics: WindowStatics, fctx: FilterContext):
 
 
 def prompt_pass_per_stream(params, config: WhisperConfig, prompt: jax.Array,
-                           n_prompt: jax.Array, xkv_b):
+                           n_prompt: jax.Array, xkv_b,
+                           n_max: Optional[int] = None):
     """Per-stream prompt decode: each row its own prompt (B, P) with its
-    own length (B,).  Returns (last_logits (B, V), kv)."""
+    own length (B,).  The cache is sized P + n_max — the padded prompt
+    capacity P becomes the decode loop's ``split`` slot base.
+    Returns (last_logits (B, V), kv)."""
     B, P = prompt.shape
     dtype = param_compute_dtype(params)
-    kv0 = init_kv_cache(config, B, dtype=dtype)
+    kv0 = init_kv_cache(config, B,
+                        cache_len=P + (n_max if n_max is not None
+                                       else config.n_text_ctx // 2 - 4),
+                        dtype=dtype)
     positions = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32), (B, P))
-    pmask = causal_prompt_mask(config, n_prompt, P, B)
-    plogits, kv = decoder_forward(
-        params, config, prompt, positions, kv0, xkv_b, pmask,
-        logit_rows=jnp.broadcast_to(n_prompt - 1, (B,)), seq_from_zero=True)
+    plogits, kv = decoder_dense(
+        params, config, prompt, positions, kv0, xkv_b, n_valid=n_prompt,
+        logit_rows=jnp.broadcast_to(n_prompt - 1, (B,)))
     return plogits[:, 0], kv                                    # (B, V)
 
 
 def prompt_pass_shared(params, config: WhisperConfig, prompt: jax.Array,
-                       n_prompt: jax.Array, xkv_b, B: int):
+                       n_prompt: jax.Array, xkv_b, B: int,
+                       n_max: Optional[int] = None):
     """Shared prompt pass (whisper.cpp:5258-5285): decode with B=1,
     broadcast the KV cache to all decoders (the functional equivalent of
     kv_cache_seq_cp 0->j, whisper.cpp:5277)."""
     P = prompt.shape[-1]
     V = config.n_vocab
     dtype = param_compute_dtype(params)
-    kv1 = init_kv_cache(config, 1, dtype=dtype)
+    kv1 = init_kv_cache(config, 1,
+                        cache_len=P + (n_max if n_max is not None
+                                       else config.n_text_ctx // 2 - 4),
+                        dtype=dtype)
     positions = jnp.arange(P, dtype=jnp.int32)[None]
-    pmask = causal_prompt_mask(config, n_prompt, P, 1)
     xkv1 = _xkv_slice_one(xkv_b)
-    plogits, kv1 = decoder_forward(
-        params, config, prompt[None], positions, kv1, xkv1, pmask,
-        logit_rows=jnp.reshape(n_prompt - 1, (1,)), seq_from_zero=True)
+    plogits, kv1 = decoder_dense(
+        params, config, prompt[None], positions, kv1, xkv1,
+        n_valid=jnp.reshape(n_prompt, (1,)),
+        logit_rows=jnp.reshape(n_prompt - 1, (1,)))
     last_logits = jnp.broadcast_to(plogits[:, 0], (B, V))       # (B, V)
     kv = KVCache(
         k=jnp.broadcast_to(kv1.k, (kv1.k.shape[0], B) + kv1.k.shape[2:]),
@@ -468,21 +478,22 @@ def run_decode_loop(params, config: WhisperConfig, fctx: FilterContext,
                 # ---- next-step logits for still-live decoders
                 # (whisper.cpp:5530-5608)
                 def next_probs(st: LoopState) -> LoopState:
-                    pos = (n_prompt + i)[:, None].astype(jnp.int32)
-                    smask = step_mask(config, n_prompt + i,
-                                      B).reshape(B, 1, 1, config.n_text_ctx)
-                    logits, kv = decoder_forward(
-                        params, config, tokens[:, i][:, None], pos,
-                        st.kv, xkv_b, smask)
+                    # cache slot is the batch-uniform prompt_pad + i;
+                    # the true position n_prompt + i drives pos_embed
+                    logits, kv = decoder_step(
+                        params, config, tokens[:, i],
+                        (n_prompt + i).astype(jnp.int32), st.kv, xkv_b,
+                        lo=n_prompt, slot=statics.prompt_pad + i,
+                        split=statics.prompt_pad)
                     if statics.fused:
                         return st._replace(
-                            kv=kv, probs=logits[:, 0].astype(jnp.float32))
+                            kv=kv, probs=logits.astype(jnp.float32))
                     penult = jnp.where(i >= 1, tokens[rows, jnp.maximum(
                         i - 1, 0)], -1)
                     st_like = {"temp": temperature, "has_ts": st.has_ts,
                                "seek_delta": st.seek_delta}
                     _, logprobs, probs = proc(
-                        logits[:, 0], st_like,
+                        logits, st_like,
                         is_initial=jnp.zeros((B,), bool),
                         n_tokens=jnp.full((B,), i + 1, jnp.int32),
                         last=tokens[:, i], penult=penult, fctx=tfctx)
@@ -523,10 +534,12 @@ class WindowDecoder:
             tfctx = fctx._replace(static_suppress=suppress_mask)
             if statics.per_stream:
                 last_logits, kv = prompt_pass_per_stream(
-                    params, config, prompt, n_prompt, xkv_b)
+                    params, config, prompt, n_prompt, xkv_b,
+                    n_max=statics.n_max)
             else:
                 last_logits, kv = prompt_pass_shared(
-                    params, config, prompt, n_prompt, xkv_b, B)
+                    params, config, prompt, n_prompt, xkv_b, B,
+                    n_max=statics.n_max)
             return run_decode_loop(
                 params, config, tfctx, statics, xkv_b, kv, last_logits,
                 n_prompt, temperature, seek, seek_end, rng, suppress_mask)

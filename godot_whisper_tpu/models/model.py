@@ -13,15 +13,23 @@ Behavioral contract mirrors the reference graphs:
 
 TPU-first design choices (deliberately NOT the reference's):
 - layers run under ``lax.scan`` over stacked weights (flat compile time);
-- the KV cache is a fixed-shape functional array
-  ``(layers, batch, heads, n_text_ctx, head_dim)`` — HEAD-MAJOR so the
-  physical layout matches what the attention score contraction reads every
-  decode step (a seq-major cache costs a full-cache layout-conversion copy
-  per step inside the device-resident loops) — updated with
-  ``dynamic_update_slice``; beam reorder is a gather on the batch axis,
-  replacing the reference's cell/seq-id mutation machinery
+- the KV cache is a fixed-shape functional array in MERGED-HEAD layout
+  ``(layers, batch, cache_len, n_state)`` — exactly what the K/V
+  projections produce, so no head-split transpose exists anywhere on the
+  decode path (a head-major cache measured a full-cache layout copy per
+  step; a per-row scatter write measured superlinear batch scaling);
+- every KV write is a ``dynamic_update_slice`` at a batch-UNIFORM slot:
+  prompts land at slots [0, P), autoregressive token i at slot
+  ``split + i`` where ``split`` is the static prompt capacity — per-row
+  prompt lengths are handled by masking the [n_prompt, split) gap, not
+  by per-row write offsets (which would be a scatter);
+- the per-token hot path is the fused Pallas kernel
+  ``ops.decode_attention`` (segment-matmul head reduction, online
+  softmax, live-prefix block skipping); beam reorder is a gather on the
+  batch axis, replacing the reference's cell/seq-id mutation machinery
   (whisper.cpp:639-1054);
-- masks are computed from positions, never materialized per sequence;
+- masks are two scalar compares per slot, never materialized per
+  sequence;
 - all matmuls run in bfloat16 with float32 accumulation; LayerNorm and
   softmax run in float32.
 """
@@ -75,27 +83,24 @@ def _merge_heads(x: jax.Array) -> jax.Array:
 
 def mha(q: jax.Array, k: jax.Array, v: jax.Array,
         mask: Optional[jax.Array] = None) -> jax.Array:
-    """Multi-head attention core over a CACHED key/value layout.
+    """Multi-head attention for the DENSE (multi-query) decoder passes.
 
-    q: (B, Tq, H, Dh); k/v: (B, H, Tk, Dh) — the head-major physical
-    layout every KV cache in this framework stores (KVCache/CrossKV).
-    Scores consume k/v directly with no per-step transpose: inside the
-    device-resident decode loops a (B, Tk, H, Dh) cache forced XLA to
-    insert a layout-conversion copy of the FULL cross-KV on every decoder
-    step (~37 MB/step at B=8, measured ~40% of step time).  mask
-    broadcastable to (B, H, Tq, Tk) — additive, float32.  Returns
-    (B, Tq, H, Dh).  Softmax in float32; the 1/sqrt(Dh) scale is applied
-    here (the reference splits it across pre-scaled Q and K,
-    whisper.cpp:1835-1845 — numerically equivalent).
+    q: (B, Tq, H, Dh); k/v: (B, Tk, H, Dh) — seq-major, reshaped views of
+    the merged-head caches (no transpose copies; XLA contracts the einsum
+    in place).  mask broadcastable to (B, H, Tq, Tk) — additive, float32.
+    Returns (B, Tq, H, Dh).  Softmax in float32; the 1/sqrt(Dh) scale is
+    applied here (the reference splits it across pre-scaled Q and K,
+    whisper.cpp:1835-1845 — numerically equivalent).  The single-token
+    hot path uses ops/decode_attention.py instead.
     """
     dh = q.shape[-1]
     scale = jnp.float32(1.0 / (dh ** 0.5))
-    scores = jnp.einsum("bqhd,bhkd->bhqk", q, k,
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     if mask is not None:
         scores = scores + mask
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bqhd", probs.astype(v.dtype), v,
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
     return out
 
@@ -179,82 +184,115 @@ def encoder_forward(params: Params, config: WhisperConfig,
 
 
 # ================================================================= cross-KV ==
+_BLOCK_C = 256  # cache-slot granularity of ops/decode_attention.py
+
+
+def round_cache_len(n: int) -> int:
+    """Round a cache capacity up to the decode-kernel block size."""
+    return max(-(-n // _BLOCK_C) * _BLOCK_C, _BLOCK_C)
+
+
 class CrossKV(NamedTuple):
-    k: jax.Array  # (L, B, H, n_audio_ctx, Dh) — head-major (see mha)
-    v: jax.Array  # (L, B, H, n_audio_ctx, Dh)
+    """Merged-head cross-attention KV: the raw projection outputs.
+
+    k/v: (L, B, T_pad, S) with T_pad = audio positions rounded up to the
+    decode-kernel block; t_valid: scalar i32 — positions >= t_valid are
+    zero padding and masked out of every attention."""
+    k: jax.Array
+    v: jax.Array
+    t_valid: jax.Array
 
 
 class QuantCrossKV(NamedTuple):
-    """Int8-quantized cross-attention KV.
+    """Int8-quantized cross-attention KV (merged-head layout).
 
     large-v3 decode is HBM-bandwidth-bound and the cross KV is its largest
-    per-step read (L*B*1500*H*D * 2 tensors); int8 storage halves that.
+    per-step read (L*T*S * 2 tensors); int8 storage halves that.
     K keeps a per-(position, head) scale (factorable out of the score
     contraction); V uses a per-head scale (must factor out of the
     probs-weighted sum).  Opt-in via TranscribeParams.cross_kv_int8.
     """
 
-    k_q: jax.Array  # (L, B, H, T, Dh) int8 — head-major (see mha)
-    k_s: jax.Array  # (L, B, H, T) f32
-    v_q: jax.Array  # (L, B, H, T, Dh) int8
-    v_s: jax.Array  # (L, B, H) f32
+    k_q: jax.Array   # (L, B, T_pad, S) int8
+    k_s: jax.Array   # (L, B, T_pad, HP) bf16 — head axis padded to the
+                     # kernel's 128-lane tile (zeros beyond n_head)
+    v_q: jax.Array   # (L, B, T_pad, S) int8
+    v_s: jax.Array   # (L, B, HP) f32 — padded likewise
+    t_valid: jax.Array  # scalar i32
 
 
-def quantize_cross_kv(xkv: CrossKV) -> QuantCrossKV:
-    kf = xkv.k.astype(jnp.float32)                             # (L,B,H,T,D)
-    vf = xkv.v.astype(jnp.float32)
-    k_s = jnp.max(jnp.abs(kf), axis=-1) / 127.0                # (L,B,H,T)
+_H_PAD = 128  # must match ops/decode_attention._H_PAD
+
+
+def quantize_cross_kv(xkv: CrossKV,
+                      n_head: Optional[int] = None) -> QuantCrossKV:
+    l, b, t, s = xkv.k.shape
+    # head count from the state width (head_dim is 64 for every published
+    # Whisper size; synthetic configs pass n_head explicitly)
+    n_head = n_head if n_head is not None else s // 64
+    d = s // n_head
+    kf = xkv.k.astype(jnp.float32).reshape(l, b, t, n_head, d)
+    vf = xkv.v.astype(jnp.float32).reshape(l, b, t, n_head, d)
+    k_s = jnp.max(jnp.abs(kf), axis=-1) / 127.0                # (L,B,T,H)
     k_q = jnp.clip(jnp.round(kf / jnp.maximum(k_s[..., None], 1e-9)),
-                   -127, 127).astype(jnp.int8)
-    v_s = jnp.max(jnp.abs(vf), axis=(3, 4)) / 127.0            # (L,B,H)
+                   -127, 127).astype(jnp.int8).reshape(l, b, t, s)
+    v_s = jnp.max(jnp.abs(vf), axis=(2, 4)) / 127.0            # (L,B,H)
     v_q = jnp.clip(
-        jnp.round(vf / jnp.maximum(v_s[..., None, None], 1e-9)),
-        -127, 127).astype(jnp.int8)
-    return QuantCrossKV(k_q=k_q, k_s=k_s, v_q=v_q, v_s=v_s)
-
-
-def mha_cross_quant(q: jax.Array, k_q: jax.Array, k_s: jax.Array,
-                    v_q: jax.Array, v_s: jax.Array) -> jax.Array:
-    """Cross attention against int8 KV: Pallas kernel with in-VMEM dequant
-    on TPU (ops/cross_attention.py), float dequant einsum elsewhere.
-    q: (B, Tq, H, D)."""
-    from ..ops.cross_attention import cross_attention_quant
-    return cross_attention_quant(q, k_q, k_s, v_q, v_s)
+        jnp.round(vf / jnp.maximum(v_s[:, :, None, :, None], 1e-9)),
+        -127, 127).astype(jnp.int8).reshape(l, b, t, s)
+    hp = _H_PAD - n_head
+    k_s = jnp.pad(k_s, [(0, 0)] * 3 + [(0, hp)]).astype(jnp.bfloat16)
+    v_s = jnp.pad(v_s, [(0, 0)] * 2 + [(0, hp)])
+    return QuantCrossKV(k_q=k_q, k_s=k_s, v_q=v_q, v_s=v_s,
+                        t_valid=xkv.t_valid)
 
 
 def cross_kv(params: Params, config: WhisperConfig,
              enc_out: jax.Array) -> CrossKV:
     """Precompute cross-attention K/V for every decoder layer
-    (whisper.cpp:2005-2074)."""
-    n_head = config.n_text_head
+    (whisper.cpp:2005-2074) — kept in the projections' own (B, T, S)
+    layout, padded on T to the decode-kernel block size."""
     ca = params["decoder"]["blocks"]["cross_attn"]
 
     def one_layer(_, layer):
-        k = _heads(_proj(enc_out, layer["wk"]), n_head)
-        v = _heads(_proj(enc_out, layer["wv"], layer["bv"]), n_head)
-        # head-major physical layout: the decode loops read this every
-        # step; transposing ONCE here beats a per-step conversion copy
-        return None, (k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))
+        k = _proj(enc_out, layer["wk"])
+        v = _proj(enc_out, layer["wv"], layer["bv"])
+        return None, (k, v)
 
     _, (k, v) = lax.scan(one_layer, None,
                          {"wk": ca["wk"], "wv": ca["wv"], "bv": ca["bv"]})
-    return CrossKV(k=k, v=v)
+    t = k.shape[2]
+    t_pad = round_cache_len(t)
+    if t_pad != t:
+        pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    return CrossKV(k=k, v=v, t_valid=jnp.int32(t))
 
 
 # ================================================================== decoder ==
 class KVCache(NamedTuple):
-    k: jax.Array  # (L, B, H, n_text_ctx, Dh) — head-major (see mha)
-    v: jax.Array  # (L, B, H, n_text_ctx, Dh)
+    k: jax.Array  # (L, B, C, S) — merged-head, C = cache capacity
+    v: jax.Array  # (L, B, C, S)
 
     @property
     def batch(self) -> int:
         return self.k.shape[1]
 
+    @property
+    def cache_len(self) -> int:
+        return self.k.shape[2]
+
 
 def init_kv_cache(config: WhisperConfig, batch: int,
+                  cache_len: Optional[int] = None,
                   dtype=jnp.bfloat16) -> KVCache:
-    shape = (config.n_text_layer, batch, config.n_text_head,
-             config.n_text_ctx, config.head_dim)
+    """Fresh zero cache.  ``cache_len`` defaults to the model's full
+    n_text_ctx rounded to the kernel block — decode loops pass the exact
+    ``split + n_max`` they need, which is usually far smaller."""
+    c = round_cache_len(cache_len if cache_len is not None
+                        else config.n_text_ctx)
+    shape = (config.n_text_layer, batch, c, config.n_text_state)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
@@ -268,158 +306,225 @@ def reorder_kv_cache(cache: KVCache, src: jax.Array) -> KVCache:
                    v=jnp.take(cache.v, src, axis=1))
 
 
-def decoder_forward(
-    params: Params,
-    config: WhisperConfig,
-    tokens: jax.Array,        # (B, T) int32
-    positions: jax.Array,     # (B, T) int32 — absolute positions
-    kv: KVCache,
-    xkv: CrossKV,
-    self_mask: jax.Array,     # (B, 1, T, n_text_ctx) additive f32
-    logit_rows: Optional[jax.Array] = None,  # (B,) — only these T-positions
-    seq_from_zero: bool = False,  # positions == arange(T): KV write is a
-                                  # static-offset slice update, not a scatter
-    slot: Optional[jax.Array] = None,  # scalar cache slot: every row's new
-                                       # KV lands at the SAME slot — a
-                                       # dynamic_update_slice, not a scatter
-    unroll: int = 1,          # layer-scan unroll factor
-) -> Tuple[jax.Array, KVCache]:
-    """Decoder over T new tokens per batch row; returns (logits, new kv).
-
-    Works for both the prompt pass (T = padded prompt length) and the
-    autoregressive step (T = 1) — the reference builds a fresh ggml graph
-    per call (whisper.cpp:2148-2505); here both modes are the same traced
-    function, distinguished only by static T.
-
-    KV writes land at ``positions`` via one scatter per layer.
-    logits: (B, T, n_vocab) float32 — or (B, 1, n_vocab) when
-    ``logit_rows`` selects one position per row (the prompt pass needs only
-    the final position's logits; computing all T against the 51k vocab
-    costs T× the FLOPs and materializes a (B, T, V) f32 buffer — the
-    reference likewise extracts only flagged rows, whisper.cpp:2536-2572).
-    """
-    dec = params["decoder"]
-    n_head = config.n_text_head
+def _embed(dec, tokens: jax.Array, positions: jax.Array, cdtype):
     te = dec["token_embed"]
-    quant_te = isinstance(te, QuantTensor)
-    cdtype = jnp.bfloat16 if quant_te else te.dtype
-    B, T = tokens.shape
-
-    if quant_te:
+    if isinstance(te, QuantTensor):
         # per-row dequant of the gathered embedding rows (scales are per
         # vocab row, so the gather reads int8 + one f32 scalar per token)
         x = te.q[tokens].astype(jnp.float32) * te.s[tokens][..., None]
     else:
         x = te[tokens].astype(jnp.float32)
-    x = x + dec["pos_embed"][positions]
-    x = x.astype(cdtype)
+    return (x + dec["pos_embed"][positions]).astype(cdtype)
 
-    blocks = dec["blocks"]
-    # batch indices for the KV scatter: (B, T)
-    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
+
+def _logits(dec, x: jax.Array) -> jax.Array:
+    """x (..., S) -> (..., V) f32 against the (possibly int8) embedding."""
+    te = dec["token_embed"]
+    if isinstance(te, QuantTensor):
+        # logits against the SAME int8 buffer ("oi" layout: contraction
+        # over S, per-vocab-row scales factor out of the sum)
+        return quant_matmul(x, te, layout="oi")
+    return jnp.einsum("...s,vs->...v", x, te,
+                      preferred_element_type=jnp.float32)
+
+
+def _dequant_xkv_layer(xkv_l, n_head: int):
+    """(k_q, k_s, v_q, v_s) of one layer -> float (B, T, S) k/v."""
+    k_q, k_s, v_q, v_s = xkv_l
+    b, t, s = k_q.shape
+    d = s // n_head
+    k = (k_q.astype(jnp.float32).reshape(b, t, n_head, d)
+         * k_s[..., :n_head].astype(jnp.float32)[..., None]
+         ).reshape(b, t, s)
+    v = (v_q.astype(jnp.float32).reshape(b, t, n_head, d)
+         * v_s[:, None, :n_head, None]).reshape(b, t, s)
+    return k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+
+
+def _xkv_scan_xs(xkv):
+    if isinstance(xkv, QuantCrossKV):
+        return (xkv.k_q, xkv.k_s, xkv.v_q, xkv.v_s)
+    return (xkv.k, xkv.v)
+
+
+def decoder_dense(
+    params: Params,
+    config: WhisperConfig,
+    tokens: jax.Array,        # (B, T) int32
+    positions: jax.Array,     # (B, T) int32 — absolute positions
+    kv: KVCache,
+    xkv,                      # CrossKV | QuantCrossKV
+    n_valid,                  # (B,) or scalar — real token count <= T
+    start=0,                  # cache slot of tokens[:, 0] (traced ok)
+    logit_rows: Optional[jax.Array] = None,  # (B,) — only these positions
+) -> Tuple[jax.Array, KVCache]:
+    """Decoder over T new tokens written at cache slots [start, start+T).
+
+    Serves the prompt pass (start=0, per-row n_valid = prompt lengths,
+    padding rows masked) and whisper_decode-style incremental multi-token
+    calls (start = n_past).  Cache slots < start are attended as history;
+    within the new rows attention is causal and bounded by n_valid.
+    The per-token autoregressive step uses ``decoder_step`` instead.
+
+    Reference graph: whisper.cpp:2148-2505; last-position-only logits via
+    ``logit_rows`` mirror the flagged-row extraction at :2536-2572.
+    """
+    dec = params["decoder"]
+    n_head = config.n_text_head
+    cdtype = param_compute_dtype(params)
+    B, T = tokens.shape
+    C = kv.cache_len
     quant_xkv = isinstance(xkv, QuantCrossKV)
 
-    # Scan over the layer axis of both the stacked weights and the caches.
+    x = _embed(dec, tokens, positions, cdtype)
+    start = jnp.asarray(start, jnp.int32)
+    n_valid = jnp.broadcast_to(jnp.asarray(n_valid, jnp.int32), (B,))
+
+    # self-attention validity over cache slots (B, 1, T, C):
+    # slot c visible to query t iff causal (c <= start + t) and either
+    # history (c < start) or a real row of this call (c - start < n_valid)
+    c_pos = jnp.arange(C)[None, None, None, :]
+    q_idx = jnp.arange(T)[None, None, :, None]
+    nv = n_valid[:, None, None, None]
+    ok = (c_pos <= start + q_idx) & ((c_pos < start)
+                                     | (c_pos - start < nv))
+    self_mask = jnp.where(ok, 0.0, _NEG_INF).astype(jnp.float32)
+
+    # cross-attention validity over audio positions (1, 1, 1, T_pad)
+    t_pad = xkv.k_q.shape[2] if quant_xkv else xkv.k.shape[2]
+    xok = jnp.arange(t_pad)[None, None, None, :] < xkv.t_valid
+    cross_mask = jnp.where(xok, 0.0, _NEG_INF).astype(jnp.float32)
+
+    def heads4(z):  # (B, N, S) -> (B, N, H, D) — pure reshape, no copy
+        return z.reshape(*z.shape[:-1], n_head, z.shape[-1] // n_head)
+
+    def attend(q, k, v, mask):
+        return _merge_heads(mha(q, k, v, mask))
+
     def one_layer(x, inputs):
         layer, kv_k, kv_v, xkv_l = inputs
-        ln0 = layer["attn_ln"]
-        attn = layer["attn"]
+        ln0, attn = layer["attn_ln"], layer["attn"]
         h = layer_norm(x, ln0["g"], ln0["b"]).astype(cdtype)
-        q = _heads(_proj(h, attn["wq"], attn["bq"]), n_head)
-        k_new = _heads(_proj(h, attn["wk"]), n_head)
-        v_new = _heads(_proj(h, attn["wv"], attn["bv"]), n_head)
+        q = _proj(h, attn["wq"], attn["bq"])
+        k_new = _proj(h, attn["wk"])
+        v_new = _proj(h, attn["wv"], attn["bv"])
 
-        # write new K/V into the cache at `positions`
-        # cache layer layout (B, H, ctx, Dh); k_new/v_new are (B, T, H, Dh)
-        if seq_from_zero:
-            kv_k = lax.dynamic_update_slice_in_dim(
-                kv_k, k_new.transpose(0, 2, 1, 3).astype(kv_k.dtype),
-                0, axis=2)
-            kv_v = lax.dynamic_update_slice_in_dim(
-                kv_v, v_new.transpose(0, 2, 1, 3).astype(kv_v.dtype),
-                0, axis=2)
-        elif slot is not None:
-            # uniform-slot write: one dynamic_update_slice on the seq axis
-            # (in-place on TPU) instead of a B-row scatter
-            kv_k = lax.dynamic_update_slice_in_dim(
-                kv_k, k_new.transpose(0, 2, 1, 3).astype(kv_k.dtype),
-                slot, axis=2)
-            kv_v = lax.dynamic_update_slice_in_dim(
-                kv_v, v_new.transpose(0, 2, 1, 3).astype(kv_v.dtype),
-                slot, axis=2)
-        else:
-            # advanced (B,1)+(B,T) indices around the sliced head axis:
-            # result group leads -> update shape (B, T, H, Dh) == k_new
-            kv_k = kv_k.at[b_idx[:, :1], :, positions].set(
-                k_new.astype(kv_k.dtype))
-            kv_v = kv_v.at[b_idx[:, :1], :, positions].set(
-                v_new.astype(kv_v.dtype))
+        # batch-uniform slice write at [start, start+T) — never a scatter
+        kv_k = lax.dynamic_update_slice_in_dim(
+            kv_k, k_new.astype(kv_k.dtype), start, axis=1)
+        kv_v = lax.dynamic_update_slice_in_dim(
+            kv_v, v_new.astype(kv_v.dtype), start, axis=1)
 
-        o = _merge_heads(mha(q, kv_k, kv_v, self_mask)).astype(cdtype)
-        x = x + _proj(o, attn["wo"], attn["bo"], out_dtype=cdtype)
+        o = attend(heads4(q), heads4(kv_k), heads4(kv_v), self_mask)
+        x = x + _proj(o.astype(cdtype), attn["wo"], attn["bo"],
+                      out_dtype=cdtype)
 
-        lnc = layer["cross_attn_ln"]
-        cattn = layer["cross_attn"]
+        lnc, cattn = layer["cross_attn_ln"], layer["cross_attn"]
         h = layer_norm(x, lnc["g"], lnc["b"]).astype(cdtype)
-        qc = _heads(_proj(h, cattn["wq"], cattn["bq"]), n_head)
+        qc = _proj(h, cattn["wq"], cattn["bq"])
         if quant_xkv:
-            oc_h = mha_cross_quant(qc, *xkv_l)
+            xk, xv = _dequant_xkv_layer(xkv_l, n_head)
         else:
-            oc_h = mha(qc, *xkv_l)
-        oc = _merge_heads(oc_h).astype(cdtype)
-        x = x + _proj(oc, cattn["wo"], cattn["bo"], out_dtype=cdtype)
+            xk, xv = xkv_l
+        oc = attend(heads4(qc), heads4(xk), heads4(xv), cross_mask)
+        x = x + _proj(oc.astype(cdtype), cattn["wo"], cattn["bo"],
+                      out_dtype=cdtype)
 
-        ln1 = layer["mlp_ln"]
-        mlp = layer["mlp"]
+        ln1, mlp = layer["mlp_ln"], layer["mlp"]
         h = layer_norm(x, ln1["g"], ln1["b"]).astype(cdtype)
         h = jax.nn.gelu(_proj(h, mlp["w0"], mlp["b0"]), approximate=False)
         h = _proj(h.astype(cdtype), mlp["w1"], mlp["b1"], out_dtype=cdtype)
         x = (x + h).astype(cdtype)
         return x, (kv_k, kv_v)
 
-    xkv_xs = ((xkv.k_q, xkv.k_s, xkv.v_q, xkv.v_s) if quant_xkv
-              else (xkv.k, xkv.v))
     x, (new_k, new_v) = lax.scan(
         lambda c, inp: one_layer(c, inp), x,
-        (blocks, kv.k, kv.v, xkv_xs), unroll=unroll)
+        (dec["blocks"], kv.k, kv.v, _xkv_scan_xs(xkv)))
 
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"]).astype(cdtype)
     if logit_rows is not None:
         x = x[jnp.arange(B), logit_rows][:, None]            # (B, 1, S)
-    if quant_te:
-        # logits against the SAME int8 buffer ("oi" layout: contraction
-        # over S, per-vocab-row scales factor out of the sum)
-        logits = quant_matmul(x, te, layout="oi")
-    else:
-        logits = jnp.einsum("bts,vs->btv", x, te,
-                            preferred_element_type=jnp.float32)
-    return logits, KVCache(k=new_k, v=new_v)
+    return _logits(dec, x), KVCache(k=new_k, v=new_v)
 
 
-def causal_prompt_mask(config: WhisperConfig, n_prompt: jax.Array,
-                       T: int, batch: int) -> jax.Array:
-    """Additive mask for a padded prompt pass.
+def decoder_step(
+    params: Params,
+    config: WhisperConfig,
+    token: jax.Array,         # (B,) int32
+    pos: jax.Array,           # (B,) int32 — true autoregressive position
+    kv: KVCache,
+    xkv,                      # CrossKV | QuantCrossKV
+    lo: jax.Array,            # (B,) — per-row prompt length
+    slot: jax.Array,          # scalar — cache slot (batch-uniform)
+    split: int,               # static prompt capacity: slots [lo, split)
+                              # are the masked per-row gap
+) -> Tuple[jax.Array, KVCache]:
+    """THE autoregressive hot step: one token per row, fused decode
+    attention, one uniform-slot cache write per layer.
 
-    Token t (absolute position t) attends to cache positions <= t and only
-    within [0, n_prompt).  Padding rows (t >= n_prompt) are fully masked to
-    position 0 to stay numerically finite.  ``n_prompt`` may be a scalar or
-    per-batch (B,) — per-stream batching uses row-specific prompt lengths.
+    The slot/position decoupling: ``pos`` (= n_prompt + i) drives the
+    positional embedding and the decode state machine, while the cache
+    slot is the batch-uniform ``split + i`` — per-row prompt lengths
+    become mask parameters instead of per-row write offsets (a scatter).
+    Returns (logits (B, V) f32, new kv).
     """
-    ctx = config.n_text_ctx
-    q_pos = jnp.arange(T)[None, :, None]
-    k_pos = jnp.arange(ctx)[None, None, :]
-    npb = jnp.asarray(n_prompt).reshape(-1, 1, 1)  # (1,) or (B,)
-    ok = (k_pos <= q_pos) & (k_pos < npb)
-    ok = ok | (k_pos == 0)
-    mask = jnp.where(ok, 0.0, _NEG_INF).astype(jnp.float32)  # (b?,T,ctx)
-    return jnp.broadcast_to(mask[:, None], (batch, 1, T, ctx))
+    from ..ops.decode_attention import decode_attention
+    from ..ops.cross_attention import cross_attention_quant
 
+    dec = params["decoder"]
+    n_head = config.n_text_head
+    cdtype = param_compute_dtype(params)
+    B = token.shape[0]
+    quant_xkv = isinstance(xkv, QuantCrossKV)
+    t_pad = xkv.k_q.shape[2] if quant_xkv else xkv.k.shape[2]
+    lo = jnp.asarray(lo, jnp.int32).reshape(B)
+    slot = jnp.asarray(slot, jnp.int32)
+    hi = slot + 1
+    cross_lo = jnp.broadcast_to(xkv.t_valid, (B,)).astype(jnp.int32)
 
-def step_mask(config: WhisperConfig, n_past: jax.Array,
-              batch: int) -> jax.Array:
-    """Additive mask for a single-token step at position ``n_past``:
-    attend to cache positions <= n_past."""
-    ctx = config.n_text_ctx
-    k_pos = jnp.arange(ctx)[None, None, None, :]
-    ok = k_pos <= n_past.reshape(-1, 1, 1, 1)
-    return jnp.where(ok, 0.0, _NEG_INF).astype(jnp.float32)
+    x = _embed(dec, token, pos, cdtype)                       # (B, S)
+
+    def one_layer(x, inputs):
+        layer, kv_k, kv_v, xkv_l = inputs
+        ln0, attn = layer["attn_ln"], layer["attn"]
+        h = layer_norm(x, ln0["g"], ln0["b"]).astype(cdtype)
+        q = _proj(h, attn["wq"], attn["bq"])
+        k_new = _proj(h, attn["wk"])
+        v_new = _proj(h, attn["wv"], attn["bv"])
+
+        kv_k = lax.dynamic_update_slice_in_dim(
+            kv_k, k_new[:, None].astype(kv_k.dtype), slot, axis=1)
+        kv_v = lax.dynamic_update_slice_in_dim(
+            kv_v, v_new[:, None].astype(kv_v.dtype), slot, axis=1)
+
+        o = decode_attention(q, kv_k, kv_v, lo, hi,
+                             split=split, n_head=n_head)
+        x = x + _proj(o.astype(cdtype), attn["wo"], attn["bo"],
+                      out_dtype=cdtype)
+
+        lnc, cattn = layer["cross_attn_ln"], layer["cross_attn"]
+        h = layer_norm(x, lnc["g"], lnc["b"]).astype(cdtype)
+        qc = _proj(h, cattn["wq"], cattn["bq"])
+        if quant_xkv:
+            oc = cross_attention_quant(qc, *xkv_l, n_head=n_head,
+                                       t_valid=cross_lo)
+        else:
+            oc = decode_attention(qc, xkv_l[0], xkv_l[1], cross_lo,
+                                  jnp.int32(0), split=t_pad,
+                                  n_head=n_head)
+        x = x + _proj(oc.astype(cdtype), cattn["wo"], cattn["bo"],
+                      out_dtype=cdtype)
+
+        ln1, mlp = layer["mlp_ln"], layer["mlp"]
+        h = layer_norm(x, ln1["g"], ln1["b"]).astype(cdtype)
+        h = jax.nn.gelu(_proj(h, mlp["w0"], mlp["b0"]), approximate=False)
+        h = _proj(h.astype(cdtype), mlp["w1"], mlp["b1"], out_dtype=cdtype)
+        x = (x + h).astype(cdtype)
+        return x, (kv_k, kv_v)
+
+    x, (new_k, new_v) = lax.scan(
+        lambda c, inp: one_layer(c, inp), x,
+        (dec["blocks"], kv.k, kv.v, _xkv_scan_xs(xkv)))
+
+    x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"]).astype(cdtype)
+    return _logits(dec, x), KVCache(k=new_k, v=new_v)

@@ -17,8 +17,8 @@ import jax.numpy as jnp
 import optax
 
 from .config import WhisperConfig
-from .model import (CrossKV, causal_prompt_mask, cross_kv, decoder_forward,
-                    encoder_forward, init_kv_cache)
+from .model import (CrossKV, cross_kv, decoder_dense, encoder_forward,
+                    init_kv_cache)
 
 Params = Dict[str, Any]
 
@@ -35,9 +35,8 @@ def loss_fn(params: Params, config: WhisperConfig,
     xkv = cross_kv(params, config, enc)
     kv = init_kv_cache(config, B, dtype=params["decoder"]["token_embed"].dtype)
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
-    amask = causal_prompt_mask(config, jnp.int32(T), T, B)
-    logits, _ = decoder_forward(params, config, tokens, positions, kv, xkv,
-                                amask)
+    logits, _ = decoder_dense(params, config, tokens, positions, kv, xkv,
+                              n_valid=T)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)

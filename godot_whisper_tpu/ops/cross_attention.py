@@ -1,28 +1,26 @@
-"""Pallas cross-attention kernel over int8-quantized KV (TPU).
+"""Pallas cross-attention decode kernel over int8 KV, merged-head layout.
 
-large-v3 decode is HBM-bandwidth-bound and the cross-attention KV is its
-largest per-step read after the weights: L*T*H*D * 2 tensors
-(~245 MB bf16 per stream at L=32, T=1500).  The reference amortizes the
-cross K/V *projections* across steps (whisper.cpp:2005-2074) but still
+The int8 sibling of ops/decode_attention.py: large-model decode is
+HBM-bandwidth-bound and the cross-attention KV is its largest per-step
+read (L*T*S * 2 tensors — ~245 MB bf16 per stream for large-v3).  The
+reference amortizes the cross K/V *projections* across steps
+(/root/reference/thirdparty/whisper.cpp/whisper.cpp:2005-2074) but still
 streams full-precision K/V through every decode step's mat-vecs
-(whisper.cpp:2357-2423).  Storing the cache int8 halves that traffic — but
-only if the upcast happens on-chip: the plain-XLA formulation
-(``einsum(q, k_q.astype(f32) * k_s)``) materializes dequantized copies in
-HBM and measured *slower* than bf16 (docs/SCALING.md).  This kernel DMAs
-the int8 blocks into VMEM, upcasts there, and never writes scores or
-dequantized KV back to HBM.
+(whisper.cpp:2357-2423); its quant machinery (ggml-quants.c dot kernels)
+exists for exactly this traffic.  Storing the cache int8 halves it — but
+only if the upcast happens on-chip: a plain-XLA dequant einsum
+materializes float copies in HBM and measured slower than bf16.
 
-Numerics: q stays bf16 (no activation quantization), K/V are upcast to
-bf16 with their float32 scales applied in VMEM, scores/softmax/accumulate
-in float32.  This is strictly more accurate than the XLA fallback path's
-int8xint8 formulation it replaces.
+Same structure as ops/decode_attention.py (segment-matrix head
+reduction, online softmax over key blocks, grid (B, NC)), plus:
+- K dequant folds into the scores AFTER the segment matmul:
+  ``scores(c,h) = (sum_s kq(c,s)*q(s)*SEG[s,h]) * k_s(c,h)`` — exact,
+  since within a head column every element shares the (c,h) scale;
+- V's per-head scale folds into the final normalization.
 
-Layout: q (B, Tq, H, D); k_q/v_q (B, H, Tk, D) int8 HEAD-MAJOR (the
-framework's cache layout, models/model.py mha); k_s (B, H, Tk) f32
-per-(head, position) scales; v_s (B, H) f32 per-head scales (matching
-``models.model.quantize_cross_kv``).  Grid over (B, H) with fully
-contiguous per-head blocks; the key axis is padded to a block multiple
-with a masked tail.
+Scales ride pre-padded to the 128-lane head tile
+(models/model.quantize_cross_kv): k_s (B, T_pad, 128) bf16,
+v_s (B, 128) f32 — zero lanes beyond n_head contribute nothing.
 """
 
 from __future__ import annotations
@@ -42,120 +40,129 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 from .attention import use_pallas
+from .decode_attention import (_BLOCK_C, _H_PAD, _NEG_INF, _fallback,
+                               _segment_matrix)
 
-_NEG_INF = -1e30
-_BLOCK_K = 512  # key positions per inner step
 
+def _xattn_q_kernel(lo_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, seg_ref,
+                    o_ref, acc_ref, m_ref, l_ref, *,
+                    n_blocks_max: int, scale: float):
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    n_active = jnp.maximum(pl.cdiv(lo_ref[b], _BLOCK_C), 1)
 
-def _xattn_kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref, *,
-                  scale: float, t_pad: int, t_valid: int):
-    """One (batch, head) program: stream int8 K/V blocks, dequant in VMEM,
-    online softmax over the (unmasked) key axis."""
-    q = q_ref[0, :, 0, :].astype(jnp.float32) * scale   # (Tq, D)
-    tq, d = q.shape
-    n_blocks = t_pad // _BLOCK_K
+    @pl.when(c == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
 
-    def body(i, carry):
-        acc, m_i, l_i = carry
-        kq = kq_ref[0, 0, pl.ds(i * _BLOCK_K, _BLOCK_K), :]   # (BK, D) i8
-        ks = ks_ref[0, 0, pl.ds(i * _BLOCK_K, _BLOCK_K)]      # (BK,) f32
-        k = kq.astype(jnp.float32) * ks[:, None]               # dequant, VMEM
-        s = lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)                # (Tq, BK)
-        col = (i * _BLOCK_K
-               + lax.broadcasted_iota(jnp.int32, (tq, _BLOCK_K), 1))
-        s = jnp.where(col < t_valid, s, _NEG_INF)
-        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+    @pl.when(c < n_active)
+    def _():
+        q = q_ref[:].astype(jnp.float32) * scale          # (1, S)
+        kq = kq_ref[0].astype(jnp.float32)                # (BC, S)
+        seg = seg_ref[:]                                  # (S, HP)
+        s = jnp.dot(kq * q, seg,
+                    preferred_element_type=jnp.float32)   # (BC, HP)
+        s = s * ks_ref[0].astype(jnp.float32)             # dequant scores
+
+        slot = (c * _BLOCK_C
+                + lax.broadcasted_iota(jnp.int32, (_BLOCK_C, _H_PAD), 0))
+        s = jnp.where(slot < lo_ref[b], s, _NEG_INF)
+
+        m_new = jnp.maximum(m_ref[:], jnp.max(s, axis=0, keepdims=True))
         p = jnp.exp(s - m_new)
-        correction = jnp.exp(m_i - m_new)
-        l_new = l_i * correction + jnp.sum(p, axis=-1, keepdims=True)
-        v = vq_ref[0, 0, pl.ds(i * _BLOCK_K, _BLOCK_K), :].astype(
-            jnp.float32)                                       # (BK, D)
-        acc = acc * correction + lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+        corr_h = jnp.exp(m_ref[:] - m_new)
+        l_ref[:] = l_ref[:] * corr_h + jnp.sum(p, axis=0, keepdims=True)
+        m_ref[:] = m_new
+
+        expand = functools.partial(
+            lax.dot_general, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return acc, m_new, l_new
+        p_s = expand(p, seg)                              # (BC, S)
+        corr_s = expand(corr_h, seg)                      # (1, S)
+        v = vq_ref[0].astype(jnp.float32)                 # (BC, S)
+        acc_ref[:] = (acc_ref[:] * corr_s
+                      + jnp.sum(p_s * v, axis=0, keepdims=True))
 
-    acc = jnp.zeros((tq, d), jnp.float32)
-    m_i = jnp.full((tq, 1), _NEG_INF, jnp.float32)
-    l_i = jnp.zeros((tq, 1), jnp.float32)
-    acc, m_i, l_i = lax.fori_loop(0, n_blocks, body, (acc, m_i, l_i))
+    @pl.when(c == n_blocks_max - 1)
+    def _():
+        expand = functools.partial(
+            lax.dot_general, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        l_s = expand(jnp.maximum(l_ref[:], 1e-30), seg_ref[:])
+        vs_s = expand(vs_ref[:], seg_ref[:])              # (1, S)
+        o_ref[:] = (acc_ref[:] / jnp.maximum(l_s, 1e-30) * vs_s
+                    ).astype(o_ref.dtype)
 
-    out = acc / jnp.maximum(l_i, 1e-30)
-    o_ref[0, :, 0, :] = (out * vs_ref[0, 0]).astype(o_ref.dtype)
 
-
-@functools.partial(jax.jit, static_argnames=("scale", "t_valid",
-                                             "interpret"))
-def _xattn_quant(q, k_q, k_s, v_q, v_s, *, scale: float, t_valid: int,
+@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+def _xattn_q_tpu(q, k_q, k_s, v_q, v_s, lo, seg, *, n_head: int,
                  interpret: bool = False):
-    """q (B, Tq, H, D) bf16; k_q/v_q (B, H, T_pad, D) int8 head-major;
-    k_s (B, H, T_pad) f32 (lane-aligned); v_s (B, H) f32
-    -> (B, Tq, H, D) f32."""
-    b, tq, h, d = q.shape
-    t_pad = k_q.shape[2]
-    grid = (b, h)
+    b, s = q.shape
+    c_pad = k_q.shape[1]
+    nc = c_pad // _BLOCK_C
+    kernel = functools.partial(
+        _xattn_q_kernel, n_blocks_max=nc,
+        scale=float(1.0 / ((s // n_head) ** 0.5)))
 
-    kernel = functools.partial(_xattn_kernel, scale=scale, t_pad=t_pad,
-                               t_valid=t_valid)
+    def kv_map(b_i, c_i, lo_ref):
+        n_active = jnp.maximum(pl.cdiv(lo_ref[b_i], _BLOCK_C), 1)
+        return (b_i, jnp.minimum(c_i, n_active - 1), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,       # lo (B,)
+        grid=(b, nc),
+        in_specs=[
+            pl.BlockSpec((1, s), lambda b_i, c_i, lo: (b_i, 0)),
+            pl.BlockSpec((1, _BLOCK_C, s), kv_map),
+            pl.BlockSpec((1, _BLOCK_C, _H_PAD), kv_map),
+            pl.BlockSpec((1, _BLOCK_C, s), kv_map),
+            pl.BlockSpec((1, _H_PAD), lambda b_i, c_i, lo: (b_i, 0)),
+            pl.BlockSpec((s, _H_PAD), lambda b_i, c_i, lo: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s), lambda b_i, c_i, lo: (b_i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((1, s), jnp.float32),
+            pltpu.VMEM((1, _H_PAD), jnp.float32),
+            pltpu.VMEM((1, _H_PAD), jnp.float32),
+        ],
+    )
     return pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, tq, 1, d), lambda i, j: (i, 0, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_pad, d), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_pad), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t_pad, d), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (i, j),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tq, 1, d), lambda i, j: (i, 0, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, tq, h, d), jnp.float32),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * tq * t_pad * d,
-            bytes_accessed=(b * h * t_pad * d * 2       # int8 K+V
-                            + b * h * t_pad * 4         # k scales
-                            + b * tq * h * d * (2 + 4)),
-            transcendentals=b * h * tq * t_pad),
+            flops=4 * b * c_pad * s,
+            bytes_accessed=b * c_pad * (2 * s + 2 * _H_PAD),
+            transcendentals=b * c_pad * _H_PAD),
         interpret=interpret,
-    )(q, k_q, k_s, v_q, v_s)
+    )(lo, q, k_q, k_s, v_q, v_s, seg)
 
 
 def cross_attention_quant(q: jax.Array, k_q: jax.Array, k_s: jax.Array,
-                          v_q: jax.Array, v_s: jax.Array,
-                          *, interpret: bool = False) -> jax.Array:
-    """Cross attention against an int8 KV cache.
+                          v_q: jax.Array, v_s: jax.Array, *,
+                          n_head: int, t_valid: jax.Array,
+                          interpret: bool = False) -> jax.Array:
+    """Single-query cross attention against int8 merged-head KV.
 
-    q: (B, Tq, H, D); k_q/v_q: (B, H, Tk, D) int8 head-major;
-    k_s: (B, H, Tk) f32; v_s: (B, H) f32.  Returns (B, Tq, H, D) float32.
-
-    Pallas (in-VMEM dequant) on TPU; float dequant einsum fallback
-    elsewhere — same math: dequantized K/V, f32 softmax/accumulation.
+    q: (B, S); k_q/v_q: (B, T_pad, S) int8; k_s: (B, T_pad, 128) bf16;
+    v_s: (B, 128) f32; t_valid: (B,) i32 valid audio positions.
+    Returns (B, S) float32.  Pallas in-VMEM dequant on TPU; float dequant
+    + the shared jnp fallback elsewhere (same f32 math).
     """
-    b, tq, h, d = q.shape
-    tk = k_q.shape[2]
-    scale = float(1.0 / (d ** 0.5))
-
+    b, s = q.shape
+    t_pad = k_q.shape[1]
+    lo = jnp.asarray(t_valid, jnp.int32).reshape(b)
     if not (use_pallas() or interpret):
-        kf = k_q.astype(jnp.float32) * k_s[..., None]
-        vf = v_q.astype(jnp.float32) * v_s[..., None, None]
-        s = jnp.einsum("bqhd,bhkd->bhqk", q.astype(jnp.float32), kf,
-                       preferred_element_type=jnp.float32) * scale
-        p = jax.nn.softmax(s, axis=-1)
-        return jnp.einsum("bhqk,bhkd->bqhd", p, vf,
-                          preferred_element_type=jnp.float32)
-
-    t_pad = -(-tk // _BLOCK_K) * _BLOCK_K
-    if t_pad != tk:
-        pad4 = [(0, 0), (0, 0), (0, t_pad - tk), (0, 0)]
-        k_q = jnp.pad(k_q, pad4)
-        v_q = jnp.pad(v_q, pad4)
-        k_s = jnp.pad(k_s, [(0, 0), (0, 0), (0, t_pad - tk)])
-    return _xattn_quant(q.astype(jnp.bfloat16), k_q, k_s, v_q, v_s,
-                        scale=scale, t_valid=tk, interpret=interpret)
+        d = s // n_head
+        kf = (k_q.astype(jnp.float32).reshape(b, t_pad, n_head, d)
+              * k_s[..., :n_head].astype(jnp.float32)[..., None]
+              ).reshape(b, t_pad, s)
+        vf = (v_q.astype(jnp.float32).reshape(b, t_pad, n_head, d)
+              * v_s[:, None, :n_head, None]).reshape(b, t_pad, s)
+        return _fallback(q, kf, vf, lo, jnp.int32(0), t_pad, n_head)
+    interpret = interpret or os.environ.get("GWT_PALLAS_INTERPRET") == "1"
+    seg = jnp.asarray(_segment_matrix(s, n_head))
+    return _xattn_q_tpu(q, k_q, k_s, v_q, v_s, lo, seg,
+                        n_head=n_head, interpret=interpret)

@@ -1,0 +1,238 @@
+"""Pallas decode-step attention over merged-head (C, S) caches (TPU).
+
+THE per-token hot loop of Whisper decode is two matvec-shaped attentions
+per layer: self-attention over the KV cache and cross-attention over the
+precomputed audio KV (reference graph
+/root/reference/thirdparty/whisper.cpp/whisper.cpp:2282-2423).  The
+reference hand-rolls these as ggml mat-vecs with per-format dot kernels
+(ggml-quants.c); the XLA einsum formulation measured only ~25-50% of HBM
+peak at decode batch sizes and scales superlinearly in batch (see
+docs/SCALING.md).
+
+TPU-first design decisions:
+
+- **Merged-head layout** ``(B, C, S)`` with ``S = n_head * head_dim`` —
+  the raw layout the K/V projections produce.  No head-split transpose
+  ever happens on the per-step path; the only consumers that need heads
+  are the score/weight reductions, done here with a tiny constant
+  *segment matrix* ``SEG (S, Hp)`` (``SEG[s, h] = 1`` iff lane ``s``
+  belongs to head ``h``):
+
+      scores(c, h) = sum_s (K(c, s) * q(s)) * SEG[s, h]      # one MXU dot
+      out(s)       = sum_c (P @ SEG^T)(c, s) * V(c, s)       # VPU reduce
+
+  which computes exact per-head dot products in f32 without ever
+  materializing a head axis.
+
+- **Tq = 1 specialization**: scores for one query are (C, Hp) — softmax
+  is a sublane reduction, the score "matmul" is one broadcast multiply.
+
+- **Blocked keys + online softmax** over the C axis (grid (B, NC)) with
+  VMEM scratch accumulators, so large-v3 cross attention (C = 1536,
+  S = 1280) streams at HBM bandwidth without blowing VMEM.
+
+- **Valid-window masking**, not cache-shaped masks: slot c is attended
+  iff ``c < lo[b]  or  split <= c < hi``.  The decode loops write
+  prompts at slots [0, n_prompt) and token i at the batch-uniform slot
+  ``split + i``, so the mask is two scalar compares — no (B, 1, 1, C)
+  mask tensor exists anywhere.
+
+- **Block skipping**: key blocks entirely above ``hi`` are neither
+  fetched nor computed — their index_map aliases the last active block
+  (scalar-prefetched), so early decode steps read only the live prefix
+  of the cache instead of all ``C`` slots.
+
+The jnp fallback (CPU tests, non-TPU) reshapes to heads and runs the
+same f32 math; tests/test_decode_attention.py asserts kernel==fallback
+in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+try:  # pallas import guarded for minimal CPU environments
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+from .attention import use_pallas
+
+_NEG_INF = -1e30
+_BLOCK_C = 256    # key slots per grid step
+_H_PAD = 128      # head axis padded to one lane tile
+
+
+@functools.lru_cache(maxsize=None)
+def _segment_matrix(s: int, n_head: int) -> np.ndarray:
+    """(S, H_PAD) f32 with SEG[s, h] = 1 iff lane s belongs to head h."""
+    d = s // n_head
+    seg = np.zeros((s, _H_PAD), np.float32)
+    for h in range(n_head):
+        seg[h * d:(h + 1) * d, h] = 1.0
+    return seg
+
+
+def _decode_attn_kernel(lo_ref, hi_ref, q_ref, k_ref, v_ref, seg_ref,
+                        o_ref, acc_ref, m_ref, l_ref, *,
+                        split: int, n_blocks_max: int, scale: float):
+    """One (b, c-block) step: online-softmax attention for a single query.
+
+    Scratch: acc (1, S) f32, m/l (1, H_PAD) f32 persist across the
+    c-block grid dimension (TPU grids execute sequentially per core)."""
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    n_active = jnp.maximum(pl.cdiv(hi_ref[0], _BLOCK_C), 1)
+
+    @pl.when(c == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(c < n_active)
+    def _():
+        q = q_ref[:].astype(jnp.float32) * scale          # (1, S)
+        k = k_ref[0].astype(jnp.float32)                  # (BC, S)
+        seg = seg_ref[:]                                  # (S, HP)
+        e = k * q                                         # (BC, S)
+        s = jnp.dot(e, seg, preferred_element_type=jnp.float32)  # (BC, HP)
+
+        slot = (c * _BLOCK_C
+                + lax.broadcasted_iota(jnp.int32, (_BLOCK_C, _H_PAD), 0))
+        ok = (slot < lo_ref[b]) | ((slot >= split) & (slot < hi_ref[0]))
+        s = jnp.where(ok, s, _NEG_INF)
+
+        m_new = jnp.maximum(m_ref[:], jnp.max(s, axis=0, keepdims=True))
+        p = jnp.exp(s - m_new)                            # (BC, HP)
+        corr_h = jnp.exp(m_ref[:] - m_new)                # (1, HP)
+        l_ref[:] = l_ref[:] * corr_h + jnp.sum(p, axis=0, keepdims=True)
+        m_ref[:] = m_new
+
+        # X @ SEG^T as a dot_general contracting SEG's head axis — no
+        # in-kernel transpose/relayout
+        expand = functools.partial(
+            lax.dot_general, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        p_s = expand(p, seg)                              # (BC, S)
+        corr_s = expand(corr_h, seg)                      # (1, S)
+        v = v_ref[0].astype(jnp.float32)                  # (BC, S)
+        acc_ref[:] = (acc_ref[:] * corr_s
+                      + jnp.sum(p_s * v, axis=0, keepdims=True))
+
+    @pl.when(c == n_blocks_max - 1)
+    def _():
+        l_s = lax.dot_general(
+            jnp.maximum(l_ref[:], 1e-30), seg_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (1, S)
+        # padded head lanes leave zero columns in l_s; the corresponding
+        # acc lanes are zero too, so guard the divide
+        o_ref[:] = (acc_ref[:] / jnp.maximum(l_s, 1e-30)
+                    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("split", "n_head", "interpret"))
+def _decode_attn_tpu(q, k, v, lo, hi, seg, *, split: int, n_head: int,
+                     interpret: bool = False):
+    b, s = q.shape
+    c_pad = k.shape[1]
+    nc = c_pad // _BLOCK_C
+    kernel = functools.partial(_decode_attn_kernel, split=split,
+                               n_blocks_max=nc,
+                               scale=float(1.0 / ((s // n_head) ** 0.5)))
+
+    def kv_map(b_i, c_i, lo_ref, hi_ref):
+        # alias blocks beyond the live prefix to the last active block:
+        # the pipeline re-reads a resident block instead of fetching
+        n_active = jnp.maximum(pl.cdiv(hi_ref[0], _BLOCK_C), 1)
+        return (b_i, jnp.minimum(c_i, n_active - 1), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,       # lo (B,), hi (1,)
+        grid=(b, nc),
+        in_specs=[
+            pl.BlockSpec((1, s), lambda b_i, c_i, lo, hi: (b_i, 0)),
+            pl.BlockSpec((1, _BLOCK_C, s), kv_map),
+            pl.BlockSpec((1, _BLOCK_C, s), kv_map),
+            pl.BlockSpec((s, _H_PAD), lambda b_i, c_i, lo, hi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s), lambda b_i, c_i, lo, hi: (b_i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((1, s), jnp.float32),
+            pltpu.VMEM((1, _H_PAD), jnp.float32),
+            pltpu.VMEM((1, _H_PAD), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * c_pad * s,
+            bytes_accessed=2 * b * c_pad * s * k.dtype.itemsize,
+            transcendentals=b * c_pad * _H_PAD),
+        interpret=interpret,
+    )(lo, hi, q, k, v, seg)
+
+
+def _fallback(q, k, v, lo, hi, split: int, n_head: int):
+    """jnp reference path: reshape to heads, masked softmax, f32."""
+    b, s = q.shape
+    c = k.shape[1]
+    d = s // n_head
+    scale = 1.0 / (d ** 0.5)
+    qh = q.reshape(b, n_head, d).astype(jnp.float32) * scale
+    kh = k.reshape(b, c, n_head, d).astype(jnp.float32)
+    vh = v.reshape(b, c, n_head, d).astype(jnp.float32)
+    scores = jnp.einsum("bhd,bchd->bhc", qh, kh)
+    slot = jnp.arange(c)[None, None, :]
+    ok = ((slot < lo[:, None, None])
+          | ((slot >= split) & (slot < jnp.reshape(hi, (1, 1, 1)))))
+    scores = jnp.where(ok, scores, _NEG_INF)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhc,bchd->bhd", p, vh)
+    return out.reshape(b, s)
+
+
+def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                     lo: jax.Array, hi: jax.Array, *,
+                     split: int, n_head: int,
+                     interpret: bool = False) -> jax.Array:
+    """Single-query attention over a merged-head cache.
+
+    q: (B, S); k/v: (B, C, S) with C a multiple of 256 (pad with zeros —
+    masked); lo: (B,) i32; hi: scalar i32 (traced ok).  Slot c of row b
+    is valid iff ``c < lo[b] or split <= c < hi``.
+
+    Self-attention:  lo = per-row prompt length, split = padded prompt
+    capacity, hi = split + step + 1.
+    Cross-attention: lo = audio_ctx valid length (per-row or uniform),
+    split = C (gap window empty), hi = 0.
+
+    Returns (B, S) float32.
+    """
+    if not (use_pallas() or interpret):
+        return _fallback(q, k, v, lo, hi, split, n_head)
+    interpret = interpret or os.environ.get("GWT_PALLAS_INTERPRET") == "1"
+    b, s = q.shape
+    seg = jnp.asarray(_segment_matrix(s, n_head))
+    lo = jnp.asarray(lo, jnp.int32).reshape(b)
+    # hi drives both masking and block skipping; lo-only windows (cross)
+    # still need every block up to max(lo) fetched
+    hi_eff = jnp.maximum(jnp.asarray(hi, jnp.int32).reshape(1),
+                         jnp.max(lo))
+    return _decode_attn_tpu(q, k, v, lo, hi_eff, seg,
+                            split=split, n_head=n_head,
+                            interpret=interpret)

@@ -65,60 +65,83 @@ def test_einsum_fallback_on_cpu():
 
 
 # ---------------------------------------------------------- cross-attn int8 --
-def _xattn_oracle(q, k_q, k_s, v_q, v_s):
-    """Float oracle: dequantize head-major KV, dense attention
-    (f64 softmax).  k_q/v_q (B, H, Tk, D); k_s (B, H, Tk); v_s (B, H)."""
-    D = q.shape[-1]
-    kf = k_q.astype(np.float64) * k_s[..., None]
-    vf = v_q.astype(np.float64) * v_s[..., None, None]
-    s = np.einsum("bqhd,bhkd->bhqk", q.astype(np.float64), kf) / np.sqrt(D)
-    p = np.exp(s - s.max(-1, keepdims=True))
-    p /= p.sum(-1, keepdims=True)
-    return np.einsum("bhqk,bhkd->bqhd", p, vf)
+def _xattn_oracle_merged(q, k_q, k_s, v_q, v_s, n_head, t_valid):
+    """Float oracle on the merged-head layout: q (B, S); k_q/v_q
+    (B, T, S) int8; k_s (B, T, HP); v_s (B, HP); softmax in f64."""
+    B, S = q.shape
+    T = k_q.shape[1]
+    D = S // n_head
+    out = np.zeros((B, S))
+    for b in range(B):
+        for h in range(n_head):
+            sl = slice(h * D, (h + 1) * D)
+            kf = k_q[b, :, sl].astype(np.float64) * \
+                k_s[b, :, h].astype(np.float64)[:, None]
+            vf = v_q[b, :, sl].astype(np.float64) * float(v_s[b, h])
+            sc = kf @ q[b, sl].astype(np.float64) / np.sqrt(D)
+            sc[t_valid:] = -np.inf
+            p = np.exp(sc - sc[:t_valid].max())
+            p /= p.sum()
+            out[b, sl] = p @ vf
+    return out
 
 
-def _make_quant_kv(rng, B, Tk, H, D):
-    """Head-major quantized KV matching models.model.quantize_cross_kv."""
-    kf = rng.standard_normal((B, H, Tk, D)).astype(np.float32)
-    vf = rng.standard_normal((B, H, Tk, D)).astype(np.float32)
-    k_s = np.abs(kf).max(-1) / 127.0 + 1e-9
-    k_q = np.clip(np.round(kf / k_s[..., None]), -127, 127).astype(np.int8)
-    v_s = np.abs(vf).max(axis=(2, 3)) / 127.0 + 1e-9
-    v_q = np.clip(np.round(vf / v_s[..., None, None]),
-                  -127, 127).astype(np.int8)
-    return k_q, k_s.astype(np.float32), v_q, v_s.astype(np.float32)
+def _make_quant_kv_merged(rng, B, T, n_head, D, HP=128):
+    """Merged-layout quantized KV matching models.model.quantize_cross_kv
+    (scales padded to the kernel head tile)."""
+    S = n_head * D
+    kf = rng.standard_normal((B, T, n_head, D)).astype(np.float32)
+    vf = rng.standard_normal((B, T, n_head, D)).astype(np.float32)
+    k_s = np.abs(kf).max(-1) / 127.0 + 1e-9           # (B, T, H)
+    k_q = np.clip(np.round(kf / k_s[..., None]), -127,
+                  127).astype(np.int8).reshape(B, T, S)
+    v_s = np.abs(vf).max(axis=(1, 3)) / 127.0 + 1e-9  # (B, H)
+    v_q = np.clip(np.round(vf / v_s[:, None, :, None]), -127,
+                  127).astype(np.int8).reshape(B, T, S)
+    k_sp = np.zeros((B, T, HP), np.float32); k_sp[..., :n_head] = k_s
+    v_sp = np.zeros((B, HP), np.float32); v_sp[:, :n_head] = v_s
+    return k_q, k_sp, v_q, v_sp
 
 
 def test_cross_attention_quant_kernel(interpret_mode):
     """Pallas int8 cross-attention (interpret) vs the float oracle,
-    Tk not a block multiple (masked tail)."""
+    t_valid not a block multiple (masked tail)."""
     from godot_whisper_tpu.ops import cross_attention
 
     rng = np.random.default_rng(7)
-    B, Tq, Tk, H, D = 2, 3, 300, 2, 64
-    q = rng.standard_normal((B, Tq, H, D)).astype(np.float32)
-    k_q, k_s, v_q, v_s = _make_quant_kv(rng, B, Tk, H, D)
+    B, T_pad, t_valid, H, D = 2, 512, 300, 6, 64
+    S = H * D
+    q = rng.standard_normal((B, S)).astype(np.float32)
+    k_q, k_s, v_q, v_s = _make_quant_kv_merged(rng, B, T_pad, H, D)
 
     got = np.asarray(cross_attention.cross_attention_quant(
-        jnp.asarray(q), jnp.asarray(k_q), jnp.asarray(k_s),
-        jnp.asarray(v_q), jnp.asarray(v_s), interpret=True))
-    want = _xattn_oracle(q, k_q, k_s, v_q, v_s)
-    # bf16 q + f32 accumulate vs f64 oracle
+        jnp.asarray(q), jnp.asarray(k_q),
+        jnp.asarray(k_s).astype(jnp.bfloat16),
+        jnp.asarray(v_q), jnp.asarray(v_s), n_head=H,
+        t_valid=jnp.full((B,), t_valid, jnp.int32), interpret=True))
+    want = _xattn_oracle_merged(q, k_q, k_s, v_q, v_s, H, t_valid)
+    # bf16 scales + f32 accumulate vs f64 oracle
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
-    cross_attention._xattn_quant.clear_cache()
 
 
 def test_cross_attention_quant_fallback_matches_oracle():
-    """CPU fallback path (float dequant einsum) vs the oracle."""
+    """CPU fallback path (float dequant + shared jnp fallback) vs the
+    oracle."""
     from godot_whisper_tpu.ops import cross_attention
 
     rng = np.random.default_rng(8)
-    B, Tq, Tk, H, D = 1, 1, 64, 3, 32
-    q = rng.standard_normal((B, Tq, H, D)).astype(np.float32)
-    k_q, k_s, v_q, v_s = _make_quant_kv(rng, B, Tk, H, D)
+    B, T_pad, t_valid, H, D = 1, 256, 64, 3, 32
+    S = H * D
+    q = rng.standard_normal((B, S)).astype(np.float32)
+    k_q, k_s, v_q, v_s = _make_quant_kv_merged(rng, B, T_pad, H, D)
 
     got = np.asarray(cross_attention.cross_attention_quant(
-        jnp.asarray(q), jnp.asarray(k_q), jnp.asarray(k_s),
-        jnp.asarray(v_q), jnp.asarray(v_s)))
-    want = _xattn_oracle(q, k_q, k_s, v_q, v_s)
-    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+        jnp.asarray(q), jnp.asarray(k_q),
+        jnp.asarray(k_s).astype(jnp.bfloat16),
+        jnp.asarray(v_q), jnp.asarray(v_s), n_head=H,
+        t_valid=jnp.full((B,), t_valid, jnp.int32)))
+    want = _xattn_oracle_merged(q, k_q.astype(np.float32),
+                                np.asarray(jnp.asarray(k_s).astype(
+                                    jnp.bfloat16).astype(jnp.float32)),
+                                v_q, v_s, H, t_valid)
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)

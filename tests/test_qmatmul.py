@@ -14,8 +14,8 @@ import jax
 import jax.numpy as jnp
 
 import godot_whisper_tpu as gwt
-from godot_whisper_tpu.models.model import (causal_prompt_mask, cross_kv,
-                                            decoder_forward, encoder_forward,
+from godot_whisper_tpu.models.model import (cross_kv, decoder_dense,
+                                            encoder_forward,
                                             init_kv_cache,
                                             param_compute_dtype)
 from godot_whisper_tpu.models.params import init_params
@@ -106,8 +106,8 @@ def test_quantized_decoder_close_to_f32(cfg, rng):
         xkv = cross_kv(params, cfg, enc)
         kv = init_kv_cache(cfg, 2, dtype=dtype)
         pos = jnp.broadcast_to(jnp.arange(6, dtype=jnp.int32), (2, 6))
-        mask = causal_prompt_mask(cfg, jnp.int32(6), 6, 2)
-        logits, _ = decoder_forward(params, cfg, toks, pos, kv, xkv, mask)
+        logits, _ = decoder_dense(params, cfg, toks, pos, kv, xkv,
+                                  n_valid=6)
         return np.asarray(logits)
 
     a = fwd(p, jnp.float32)
@@ -243,8 +243,8 @@ def test_int4_decoder_forward_close_to_f32(cfg):
         xkv = cross_kv(params, cfg, enc)
         kv = init_kv_cache(cfg, 2, dtype=dtype)
         pos = jnp.broadcast_to(jnp.arange(6, dtype=jnp.int32), (2, 6))
-        mask = causal_prompt_mask(cfg, jnp.int32(6), 6, 2)
-        logits, _ = decoder_forward(params, cfg, toks, pos, kv, xkv, mask)
+        logits, _ = decoder_dense(params, cfg, toks, pos, kv, xkv,
+                                  n_valid=6)
         return np.asarray(logits)
 
     a = fwd(p, jnp.float32)

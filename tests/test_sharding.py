@@ -8,9 +8,8 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 import godot_whisper_tpu as gwt
-from godot_whisper_tpu.models.model import (causal_prompt_mask, cross_kv,
-                                            decoder_forward, encoder_forward,
-                                            init_kv_cache)
+from godot_whisper_tpu.models.model import (cross_kv, decoder_dense,
+                                            encoder_forward, init_kv_cache)
 from godot_whisper_tpu.models.params import init_params
 from godot_whisper_tpu.parallel.sharding import (batch_sharding, make_mesh,
                                                  param_pspecs, shard_params)
@@ -38,9 +37,8 @@ def _forward(params, cfg, mel, tokens):
     B, T = tokens.shape
     kv = init_kv_cache(cfg, B, dtype=jnp.float32)
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
-    mask = causal_prompt_mask(cfg, jnp.int32(T), T, B)
-    logits, _ = decoder_forward(params, cfg, tokens, positions, kv, xkv,
-                                mask)
+    logits, _ = decoder_dense(params, cfg, tokens, positions, kv, xkv,
+                              n_valid=T)
     return logits
 
 
