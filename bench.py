@@ -1,12 +1,22 @@
-"""Benchmark driver: tiny.en end-to-end RTF (audio-seconds per second).
+"""Benchmark driver: end-to-end RTF + batched-stream throughput.
 
 Run on the real TPU chip.  Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+
+Primary metric: BENCH_MODEL (default tiny.en) single-stream greedy RTF
+(audio-seconds per second).  Extra keys: batched throughput at 8/16/32
+concurrent streams (steady-state over a pipelined multi-batch run —
+mel/upload of batch k+1 overlaps decode of batch k), and large-v3
+single/batch-8 figures (weights generated on-device; gate with
+BENCH_LARGE=0).
 
 Baseline: BASELINE.json's north-star of 50x realtime tiny.en per chip
 (the reference publishes only ~0.3 s for a tiny.en one-shot on an
-unspecified desktop, README.md:57 — no portable RTF figure exists, so the
-north-star target is the denominator).
+unspecified desktop, README.md:57 — no portable RTF figure exists, so
+the north-star target is the denominator).
+
+Env knobs: BENCH_MODEL, BENCH_AUDIO_SECONDS, BENCH_QUANTIZE (int8/int4),
+BENCH_LARGE=0, BENCH_BATCHES (comma list, default "8,16,32").
 """
 
 from __future__ import annotations
@@ -19,9 +29,10 @@ import time
 import numpy as np
 
 
-def _make_audio(seconds: float, sr: int = 16000) -> np.ndarray:
+def _make_audio(seconds: float, sr: int = 16000,
+                seed: int = 0) -> np.ndarray:
     """Synthetic speech-like audio: AM-modulated harmonics + noise."""
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     t = np.arange(int(seconds * sr)) / sr
     f0 = 120 + 30 * np.sin(2 * np.pi * 0.5 * t)
     x = np.zeros_like(t)
@@ -32,19 +43,11 @@ def _make_audio(seconds: float, sr: int = 16000) -> np.ndarray:
     return x.astype(np.float32)
 
 
-def main() -> None:
+def _load_ctx(model: str, quantize, on_device: bool = False):
     import godot_whisper_tpu as gwt
-    from godot_whisper_tpu.runtime.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
-    model = os.environ.get("BENCH_MODEL", "tiny.en")
-    audio_seconds = float(os.environ.get("BENCH_AUDIO_SECONDS", "120"))
-    quantize = os.environ.get("BENCH_QUANTIZE") or None  # e.g. "int8"
-
     stub = ("/root/reference/thirdparty/whisper.cpp/models/"
             f"for-tests-ggml-{model}.bin")
-    if os.path.exists(stub):
+    if os.path.exists(stub) and not on_device:
         # real vocab + mel filters from the stub; weights random (no
         # network access for real checkpoints)
         from godot_whisper_tpu.models.loader_ggml import read_checkpoint
@@ -53,48 +56,95 @@ def main() -> None:
         from godot_whisper_tpu.decode.loop import WhisperPipeline
         raw = read_checkpoint(stub)
         params = init_params(raw.config, seed=0)
-        if quantize:  # "int8" / "int4" (BENCH_QUANTIZE)
+        if quantize:
             params = gwt.WhisperContext._quantize(params, quantize)
         tokenizer = Tokenizer(raw.config, raw.vocab_tokens)
         pipe = WhisperPipeline(raw.config, params, tokenizer,
                                raw.mel_filters, n_loaded=1)
-        ctx = gwt.WhisperContext(pipe)
-    else:
-        ctx = gwt.WhisperContext.synthetic(model, seed=0,
-                                           quantize=quantize)
+        return gwt.WhisperContext(pipe)
+    return gwt.WhisperContext.synthetic(model, seed=0, quantize=quantize,
+                                        on_device=on_device)
 
-    tp = gwt.TranscribeParams(best_of=1, temperature_inc=0.0,
-                              print_progress=False)
 
-    audio = _make_audio(audio_seconds)
-
-    # warmup compiles every executable for this audio length
-    ctx.full(tp, audio)
-
+def _single_rtf(ctx, tp, audio, n=3) -> float:
+    ctx.full(tp, audio)  # warmup/compile
     best = None
-    for _ in range(3):
+    for _ in range(n):
         t0 = time.perf_counter()
         ctx.full(tp, audio)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
-    rtf = audio_seconds / best
+    return len(audio) / 16000 / best
 
-    # concurrent-stream throughput (8 utterances batched on the chip)
+
+def _batch_throughput(ctx, tp, nb: int, audio_seconds: float,
+                      n_batches: int = 3) -> float:
+    """Steady-state pipelined throughput: clock starts after the first
+    batch lands (its mel upload cannot overlap anything)."""
     from godot_whisper_tpu.parallel.batch import BatchTranscriber
     bt = BatchTranscriber(ctx)
-    clips = [_make_audio(audio_seconds) for _ in range(8)]
-    bt.transcribe(clips, tp)
-    t0 = time.perf_counter()
-    bt.transcribe(clips, tp)
-    batch_tp = 8 * audio_seconds / (time.perf_counter() - t0)
+    clips = [_make_audio(audio_seconds, seed=i) for i in range(nb)]
+    bt.transcribe(clips, tp)  # warmup/compile
+    t_mark = [None]
 
-    print(json.dumps({
+    def batches():
+        for _ in range(n_batches + 1):
+            yield clips
+
+    n_done = 0
+    for _ in bt.transcribe_many(batches(), tp):
+        if t_mark[0] is None:
+            t_mark[0] = time.perf_counter()  # after first batch
+        else:
+            n_done += 1
+    dt = time.perf_counter() - t_mark[0]
+    return n_done * nb * audio_seconds / dt
+
+
+def main() -> None:
+    import godot_whisper_tpu as gwt
+    from godot_whisper_tpu.runtime.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    model = os.environ.get("BENCH_MODEL", "tiny.en")
+    audio_seconds = float(os.environ.get("BENCH_AUDIO_SECONDS", "120"))
+    quantize = os.environ.get("BENCH_QUANTIZE") or None
+    batch_sizes = [int(x) for x in os.environ.get(
+        "BENCH_BATCHES", "8,16,32").split(",") if x]
+
+    ctx = _load_ctx(model, quantize)
+    tp = gwt.TranscribeParams(best_of=1, temperature_inc=0.0,
+                              print_progress=False)
+    audio = _make_audio(audio_seconds)
+
+    out = {
         "metric": f"{model} greedy e2e RTF (audio-seconds/s/chip)",
-        "value": round(rtf, 2),
+        "value": round(_single_rtf(ctx, tp, audio), 2),
         "unit": "audio_s/s",
-        "vs_baseline": round(rtf / 50.0, 3),
-        "batch8_throughput_audio_s_per_s": round(batch_tp, 1),
-    }))
+    }
+    out["vs_baseline"] = round(out["value"] / 50.0, 3)
+
+    for nb in batch_sizes:
+        try:
+            thr = _batch_throughput(ctx, tp, nb, audio_seconds)
+            out[f"batch{nb}_throughput_audio_s_per_s"] = round(thr, 1)
+        except Exception as e:  # pragma: no cover
+            out[f"batch{nb}_throughput_audio_s_per_s"] = f"error: {e}"
+
+    if os.environ.get("BENCH_LARGE", "1") == "1" and model != "large-v3":
+        try:
+            lctx = _load_ctx("large-v3", quantize, on_device=True)
+            laudio = _make_audio(min(audio_seconds, 60.0))
+            out["large_v3_single_rtf"] = round(
+                _single_rtf(lctx, tp, laudio, n=2), 2)
+            out["large_v3_batch8_throughput_audio_s_per_s"] = round(
+                _batch_throughput(lctx, tp, 8, min(audio_seconds, 60.0),
+                                  n_batches=2), 1)
+        except Exception as e:  # pragma: no cover
+            out["large_v3_error"] = str(e)[:200]
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

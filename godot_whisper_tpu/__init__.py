@@ -123,13 +123,23 @@ class WhisperContext:
     @classmethod
     def synthetic(cls, name: str = "tiny.en", *, seed: int = 0,
                   compute_dtype=None,
-                  quantize: Optional[str] = None) -> "WhisperContext":
-        """Random-weight model for benches/tests (no checkpoint needed)."""
+                  quantize: Optional[str] = None,
+                  on_device: bool = False) -> "WhisperContext":
+        """Random-weight model for benches/tests (no checkpoint needed).
+
+        ``on_device=True`` generates the weights on the accelerator (no
+        host->device weight upload — benching multi-GB models over a
+        slow relay link)."""
         import jax.numpy as jnp
         config = get_config(name)
         dtype = compute_dtype or jnp.bfloat16
-        params = cls._quantize(
-            init_params(config, seed=seed, compute_dtype=dtype), quantize)
+        if on_device:
+            from .models.params import init_params_device
+            params = init_params_device(config, seed=seed,
+                                        compute_dtype=dtype)
+        else:
+            params = init_params(config, seed=seed, compute_dtype=dtype)
+        params = cls._quantize(params, quantize)
         tokenizer = Tokenizer(config, synthetic_vocab(config))
         pipe = WhisperPipeline(config, params, tokenizer,
                                mel_filterbank(config.n_mels), n_loaded=1)

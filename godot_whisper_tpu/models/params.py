@@ -240,6 +240,72 @@ def init_params(
     return jax.tree_util.tree_map(jnp.asarray, params)
 
 
+def init_params_device(config: WhisperConfig, *, seed: int = 0,
+                       compute_dtype=jnp.bfloat16,
+                       scale: float = 0.02) -> Params:
+    """Random parameters generated ON the device (jax.random inside one
+    jit) — no host->device weight transfer.  Used for benching large
+    models on relay-tunneled runtimes where uploading gigabytes of
+    random weights would dwarf the measurement (~30 MB/s links)."""
+    c = config
+    S, V, M = c.n_audio_state, c.n_vocab, c.n_mels
+    La, Lt = c.n_audio_layer, c.n_text_layer
+
+    def build(key):
+        ctr = [key]
+
+        def w(*shape):
+            ctr[0], sub = jax.random.split(ctr[0])
+            return (jax.random.normal(sub, shape, jnp.float32)
+                    * scale).astype(compute_dtype)
+
+        def ones(*shape):
+            return jnp.ones(shape, jnp.float32)
+
+        def zeros(*shape):
+            return jnp.zeros(shape, jnp.float32)
+
+        def attn(L):
+            return {"wq": w(L, S, S), "bq": zeros(L, S), "wk": w(L, S, S),
+                    "wv": w(L, S, S), "bv": zeros(L, S),
+                    "wo": w(L, S, S), "bo": zeros(L, S)}
+
+        def blocks(L, cross: bool):
+            b = {
+                "attn_ln": {"g": ones(L, S), "b": zeros(L, S)},
+                "attn": attn(L),
+                "mlp_ln": {"g": ones(L, S), "b": zeros(L, S)},
+                "mlp": {"w0": w(L, S, 4 * S), "b0": zeros(L, 4 * S),
+                        "w1": w(L, 4 * S, S), "b1": zeros(L, S)},
+            }
+            if cross:
+                b["cross_attn_ln"] = {"g": ones(L, S), "b": zeros(L, S)}
+                b["cross_attn"] = attn(L)
+            return b
+
+        return {
+            "encoder": {
+                "pos_embed": (jax.random.normal(
+                    jax.random.fold_in(key, 1), (c.n_audio_ctx, S))
+                    * scale).astype(jnp.float32),
+                "conv1": {"w": w(3, M, S), "b": zeros(S)},
+                "conv2": {"w": w(3, S, S), "b": zeros(S)},
+                "ln_post": {"g": ones(S), "b": zeros(S)},
+                "blocks": blocks(La, cross=False),
+            },
+            "decoder": {
+                "pos_embed": (jax.random.normal(
+                    jax.random.fold_in(key, 2), (c.n_text_ctx, S))
+                    * scale).astype(jnp.float32),
+                "token_embed": w(V, S),
+                "ln": {"g": ones(S), "b": zeros(S)},
+                "blocks": blocks(Lt, cross=True),
+            },
+        }
+
+    return jax.jit(build)(jax.random.PRNGKey(seed))
+
+
 def param_count(params: Params) -> int:
     return sum(int(np.prod(x.shape))
                for x in jax.tree_util.tree_leaves(params))

@@ -12,7 +12,8 @@ only if the upcast happens on-chip: a plain-XLA dequant einsum
 materializes float copies in HBM and measured slower than bf16.
 
 Same structure as ops/decode_attention.py (segment-matrix head
-reduction, online softmax over key blocks, grid (B, NC)), plus:
+reduction, batch-tiled key blocks, online softmax, grid (B/BT, NC)),
+plus:
 - K dequant folds into the scores AFTER the segment matmul:
   ``scores(c,h) = (sum_s kq(c,s)*q(s)*SEG[s,h]) * k_s(c,h)`` — exact,
   since within a head column every element shares the (c,h) scale;
@@ -40,16 +41,15 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 from .attention import use_pallas
-from .decode_attention import (_BLOCK_C, _H_PAD, _NEG_INF, _fallback,
-                               _segment_matrix)
+from .decode_attention import (_BLOCK_C, _H_PAD, _NEG_INF, _expand,
+                               _fallback, _pick_bt, _segment_matrix)
 
 
-def _xattn_q_kernel(lo_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, seg_ref,
-                    o_ref, acc_ref, m_ref, l_ref, *,
-                    n_blocks_max: int, scale: float):
-    b = pl.program_id(0)
+def _xattn_q_kernel(hi_ref, lo_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
+                    seg_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                    n_blocks_max: int, scale: float, bt: int):
     c = pl.program_id(1)
-    n_active = jnp.maximum(pl.cdiv(lo_ref[b], _BLOCK_C), 1)
+    n_active = jnp.maximum(pl.cdiv(hi_ref[0], _BLOCK_C), 1)
 
     @pl.when(c == 0)
     def _():
@@ -59,85 +59,91 @@ def _xattn_q_kernel(lo_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, seg_ref,
 
     @pl.when(c < n_active)
     def _():
-        q = q_ref[:].astype(jnp.float32) * scale          # (1, S)
-        kq = kq_ref[0].astype(jnp.float32)                # (BC, S)
+        q = q_ref[:, 0, :].astype(jnp.float32) * scale    # (BT, S)
+        kq = kq_ref[:].astype(jnp.float32)                # (BT, BC, S)
         seg = seg_ref[:]                                  # (S, HP)
-        s = jnp.dot(kq * q, seg,
-                    preferred_element_type=jnp.float32)   # (BC, HP)
-        s = s * ks_ref[0].astype(jnp.float32)             # dequant scores
+        e = kq * q[:, None, :]
+        s_dim = q.shape[-1]
+        s = jnp.dot(e.reshape(bt * _BLOCK_C, s_dim), seg,
+                    preferred_element_type=jnp.float32
+                    ).reshape(bt, _BLOCK_C, _H_PAD)
+        s = s * ks_ref[:].astype(jnp.float32)             # dequant scores
 
-        slot = (c * _BLOCK_C
-                + lax.broadcasted_iota(jnp.int32, (_BLOCK_C, _H_PAD), 0))
-        s = jnp.where(slot < lo_ref[b], s, _NEG_INF)
+        slot = (c * _BLOCK_C + lax.broadcasted_iota(
+            jnp.int32, (bt, _BLOCK_C, _H_PAD), 1))
+        lo = lo_ref[:, :, 0]                              # (BT, 1)
+        s = jnp.where(slot < lo[:, :, None], s, _NEG_INF)
 
-        m_new = jnp.maximum(m_ref[:], jnp.max(s, axis=0, keepdims=True))
-        p = jnp.exp(s - m_new)
+        m_new = jnp.maximum(m_ref[:], jnp.max(s, axis=1))  # (BT, HP)
+        p = jnp.exp(s - m_new[:, None, :])
         corr_h = jnp.exp(m_ref[:] - m_new)
-        l_ref[:] = l_ref[:] * corr_h + jnp.sum(p, axis=0, keepdims=True)
+        l_ref[:] = l_ref[:] * corr_h + jnp.sum(p, axis=1)
         m_ref[:] = m_new
 
-        expand = functools.partial(
-            lax.dot_general, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        p_s = expand(p, seg)                              # (BC, S)
-        corr_s = expand(corr_h, seg)                      # (1, S)
-        v = vq_ref[0].astype(jnp.float32)                 # (BC, S)
+        p_s = _expand(p.reshape(bt * _BLOCK_C, _H_PAD), seg
+                      ).reshape(bt, _BLOCK_C, s_dim)
+        corr_s = _expand(corr_h, seg)                      # (BT, S)
+        v = vq_ref[:].astype(jnp.float32)                  # (BT, BC, S)
         acc_ref[:] = (acc_ref[:] * corr_s
-                      + jnp.sum(p_s * v, axis=0, keepdims=True))
+                      + jnp.sum(p_s * v, axis=1))
 
     @pl.when(c == n_blocks_max - 1)
     def _():
-        expand = functools.partial(
-            lax.dot_general, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        l_s = expand(jnp.maximum(l_ref[:], 1e-30), seg_ref[:])
-        vs_s = expand(vs_ref[:], seg_ref[:])              # (1, S)
-        o_ref[:] = (acc_ref[:] / jnp.maximum(l_s, 1e-30) * vs_s
-                    ).astype(o_ref.dtype)
+        l_s = _expand(jnp.maximum(l_ref[:], 1e-30), seg_ref[:])
+        vs_s = _expand(vs_ref[:, 0, :], seg_ref[:])        # (BT, S)
+        o_ref[:, 0, :] = (acc_ref[:] / jnp.maximum(l_s, 1e-30) * vs_s
+                          ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
-def _xattn_q_tpu(q, k_q, k_s, v_q, v_s, lo, seg, *, n_head: int,
+def _xattn_q_tpu(q, k_q, k_s, v_q, v_s, lo, hi, seg, *, n_head: int,
                  interpret: bool = False):
     b, s = q.shape
     c_pad = k_q.shape[1]
     nc = c_pad // _BLOCK_C
+    bt = _pick_bt(b, s, 1)
     kernel = functools.partial(
-        _xattn_q_kernel, n_blocks_max=nc,
+        _xattn_q_kernel, n_blocks_max=nc, bt=bt,
         scale=float(1.0 / ((s // n_head) ** 0.5)))
 
-    def kv_map(b_i, c_i, lo_ref):
-        n_active = jnp.maximum(pl.cdiv(lo_ref[b_i], _BLOCK_C), 1)
+    def kv_map(b_i, c_i, hi_ref):
+        n_active = jnp.maximum(pl.cdiv(hi_ref[0], _BLOCK_C), 1)
         return (b_i, jnp.minimum(c_i, n_active - 1), 0)
 
+    def row_map(b_i, c_i, hi_ref):
+        return (b_i, 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,       # lo (B,)
-        grid=(b, nc),
+        num_scalar_prefetch=1,       # hi (1,)
+        grid=(b // bt, nc),
         in_specs=[
-            pl.BlockSpec((1, s), lambda b_i, c_i, lo: (b_i, 0)),
-            pl.BlockSpec((1, _BLOCK_C, s), kv_map),
-            pl.BlockSpec((1, _BLOCK_C, _H_PAD), kv_map),
-            pl.BlockSpec((1, _BLOCK_C, s), kv_map),
-            pl.BlockSpec((1, _H_PAD), lambda b_i, c_i, lo: (b_i, 0)),
-            pl.BlockSpec((s, _H_PAD), lambda b_i, c_i, lo: (0, 0)),
+            pl.BlockSpec((bt, 1, 1), row_map),        # lo (B, 1, 1)
+            pl.BlockSpec((bt, 1, s), row_map),        # q  (B, 1, S)
+            pl.BlockSpec((bt, _BLOCK_C, s), kv_map),
+            pl.BlockSpec((bt, _BLOCK_C, _H_PAD), kv_map),
+            pl.BlockSpec((bt, _BLOCK_C, s), kv_map),
+            pl.BlockSpec((bt, 1, _H_PAD), row_map),   # v_s (B, 1, HP)
+            pl.BlockSpec((s, _H_PAD), lambda b_i, c_i, hi: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, s), lambda b_i, c_i, lo: (b_i, 0)),
+        out_specs=pl.BlockSpec((bt, 1, s), row_map),
         scratch_shapes=[
-            pltpu.VMEM((1, s), jnp.float32),
-            pltpu.VMEM((1, _H_PAD), jnp.float32),
-            pltpu.VMEM((1, _H_PAD), jnp.float32),
+            pltpu.VMEM((bt, s), jnp.float32),
+            pltpu.VMEM((bt, _H_PAD), jnp.float32),
+            pltpu.VMEM((bt, _H_PAD), jnp.float32),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, s), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 1, s), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * c_pad * s,
             bytes_accessed=b * c_pad * (2 * s + 2 * _H_PAD),
             transcendentals=b * c_pad * _H_PAD),
         interpret=interpret,
-    )(lo, q, k_q, k_s, v_q, v_s, seg)
+    )(hi, lo[:, None, None], q[:, None], k_q, k_s, v_q, v_s[:, None],
+      seg)
+    return out[:, 0]
 
 
 def cross_attention_quant(q: jax.Array, k_q: jax.Array, k_s: jax.Array,
@@ -164,5 +170,6 @@ def cross_attention_quant(q: jax.Array, k_q: jax.Array, k_s: jax.Array,
         return _fallback(q, kf, vf, lo, jnp.int32(0), t_pad, n_head)
     interpret = interpret or os.environ.get("GWT_PALLAS_INTERPRET") == "1"
     seg = jnp.asarray(_segment_matrix(s, n_head))
-    return _xattn_q_tpu(q, k_q, k_s, v_q, v_s, lo, seg,
+    hi = jnp.max(lo).reshape(1)   # block-skip bound (uniform)
+    return _xattn_q_tpu(q, k_q, k_s, v_q, v_s, lo, hi, seg,
                         n_head=n_head, interpret=interpret)

@@ -18,24 +18,27 @@ TPU-first design decisions:
   *segment matrix* ``SEG (S, Hp)`` (``SEG[s, h] = 1`` iff lane ``s``
   belongs to head ``h``):
 
-      scores(c, h) = sum_s (K(c, s) * q(s)) * SEG[s, h]      # one MXU dot
-      out(s)       = sum_c (P @ SEG^T)(c, s) * V(c, s)       # VPU reduce
+      scores(b, c, h) = sum_s (K(b, c, s) * q(b, s)) * SEG[s, h]
+      out(b, s)       = sum_c (P @ SEG^T)(b, c, s) * V(b, c, s)
 
   which computes exact per-head dot products in f32 without ever
   materializing a head axis.
 
-- **Tq = 1 specialization**: scores for one query are (C, Hp) — softmax
-  is a sublane reduction, the score "matmul" is one broadcast multiply.
+- **Batch-tiled blocks**: the grid is ``(B / BT, NC)`` with BT batch
+  rows per program (BT sized so each K/V block is ~1.5 MB).  A first
+  cut with one program per (batch row, key block) measured slower than
+  the XLA einsum — per-program fixed costs dominated the ~1 us of real
+  work; tiling B into the block amortizes them ~8x.
 
-- **Blocked keys + online softmax** over the C axis (grid (B, NC)) with
-  VMEM scratch accumulators, so large-v3 cross attention (C = 1536,
-  S = 1280) streams at HBM bandwidth without blowing VMEM.
+- **Blocked keys + online softmax** over the C axis with VMEM scratch
+  accumulators, so large-v3 cross attention (C = 1536, S = 1280)
+  streams at HBM bandwidth without blowing VMEM.
 
-- **Valid-window masking**, not cache-shaped masks: slot c is attended
-  iff ``c < lo[b]  or  split <= c < hi``.  The decode loops write
-  prompts at slots [0, n_prompt) and token i at the batch-uniform slot
-  ``split + i``, so the mask is two scalar compares — no (B, 1, 1, C)
-  mask tensor exists anywhere.
+- **Valid-window masking**, not cache-shaped masks: slot c of row b is
+  attended iff ``c < lo[b]  or  split <= c < hi``.  The decode loops
+  write prompts at slots [0, n_prompt) and token i at the batch-uniform
+  slot ``split + i``, so the mask is two scalar compares — no
+  (B, 1, 1, C) mask tensor exists anywhere.
 
 - **Block skipping**: key blocks entirely above ``hi`` are neither
   fetched nor computed — their index_map aliases the last active block
@@ -71,6 +74,17 @@ from .attention import use_pallas
 _NEG_INF = -1e30
 _BLOCK_C = 256    # key slots per grid step
 _H_PAD = 128      # head axis padded to one lane tile
+_BLOCK_BYTES = 3 << 19  # ~1.5 MB per K/V block target
+
+
+def _pick_bt(b: int, s: int, itemsize: int) -> int:
+    """Largest divisor of B keeping a (BT, BLOCK_C, S) block ~1.5 MB."""
+    cap = max(_BLOCK_BYTES // (_BLOCK_C * s * itemsize), 1)
+    bt = 1
+    for d in range(1, b + 1):
+        if b % d == 0 and d <= cap:
+            bt = d
+    return bt
 
 
 @functools.lru_cache(maxsize=None)
@@ -83,14 +97,21 @@ def _segment_matrix(s: int, n_head: int) -> np.ndarray:
     return seg
 
 
-def _decode_attn_kernel(lo_ref, hi_ref, q_ref, k_ref, v_ref, seg_ref,
-                        o_ref, acc_ref, m_ref, l_ref, *,
-                        split: int, n_blocks_max: int, scale: float):
-    """One (b, c-block) step: online-softmax attention for a single query.
+def _expand(x, seg):
+    """X (..., Hp) @ SEG^T -> (..., S) without an in-kernel transpose."""
+    return lax.dot_general(x, seg,
+                           dimension_numbers=(((x.ndim - 1,), (1,)),
+                                              ((), ())),
+                           preferred_element_type=jnp.float32)
 
-    Scratch: acc (1, S) f32, m/l (1, H_PAD) f32 persist across the
-    c-block grid dimension (TPU grids execute sequentially per core)."""
-    b = pl.program_id(0)
+
+def _decode_attn_kernel(hi_ref, lo_ref, q_ref, k_ref, v_ref, seg_ref,
+                        o_ref, acc_ref, m_ref, l_ref, *,
+                        split: int, n_blocks_max: int, scale: float,
+                        bt: int):
+    """One (b-tile, c-block) step: online-softmax attention for BT
+    single-query rows.  Scratch acc (BT, S), m/l (BT, H_PAD) persist
+    across the c grid dimension (TPU grids run sequentially)."""
     c = pl.program_id(1)
     n_active = jnp.maximum(pl.cdiv(hi_ref[0], _BLOCK_C), 1)
 
@@ -102,44 +123,42 @@ def _decode_attn_kernel(lo_ref, hi_ref, q_ref, k_ref, v_ref, seg_ref,
 
     @pl.when(c < n_active)
     def _():
-        q = q_ref[:].astype(jnp.float32) * scale          # (1, S)
-        k = k_ref[0].astype(jnp.float32)                  # (BC, S)
+        q = q_ref[:, 0, :].astype(jnp.float32) * scale    # (BT, S)
+        k = k_ref[:].astype(jnp.float32)                  # (BT, BC, S)
         seg = seg_ref[:]                                  # (S, HP)
-        e = k * q                                         # (BC, S)
-        s = jnp.dot(e, seg, preferred_element_type=jnp.float32)  # (BC, HP)
+        e = k * q[:, None, :]                             # (BT, BC, S)
+        s_dim = q.shape[-1]
+        s = jnp.dot(e.reshape(bt * _BLOCK_C, s_dim), seg,
+                    preferred_element_type=jnp.float32
+                    ).reshape(bt, _BLOCK_C, _H_PAD)
 
-        slot = (c * _BLOCK_C
-                + lax.broadcasted_iota(jnp.int32, (_BLOCK_C, _H_PAD), 0))
-        ok = (slot < lo_ref[b]) | ((slot >= split) & (slot < hi_ref[0]))
+        slot = (c * _BLOCK_C + lax.broadcasted_iota(
+            jnp.int32, (bt, _BLOCK_C, _H_PAD), 1))
+        lo = lo_ref[:, :, 0]                              # (BT, 1)
+        ok = ((slot < lo[:, :, None])
+              | ((slot >= split) & (slot < hi_ref[0])))
         s = jnp.where(ok, s, _NEG_INF)
 
-        m_new = jnp.maximum(m_ref[:], jnp.max(s, axis=0, keepdims=True))
-        p = jnp.exp(s - m_new)                            # (BC, HP)
-        corr_h = jnp.exp(m_ref[:] - m_new)                # (1, HP)
-        l_ref[:] = l_ref[:] * corr_h + jnp.sum(p, axis=0, keepdims=True)
+        m_new = jnp.maximum(m_ref[:], jnp.max(s, axis=1))  # (BT, HP)
+        p = jnp.exp(s - m_new[:, None, :])                 # (BT, BC, HP)
+        corr_h = jnp.exp(m_ref[:] - m_new)                 # (BT, HP)
+        l_ref[:] = l_ref[:] * corr_h + jnp.sum(p, axis=1)
         m_ref[:] = m_new
 
-        # X @ SEG^T as a dot_general contracting SEG's head axis — no
-        # in-kernel transpose/relayout
-        expand = functools.partial(
-            lax.dot_general, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        p_s = expand(p, seg)                              # (BC, S)
-        corr_s = expand(corr_h, seg)                      # (1, S)
-        v = v_ref[0].astype(jnp.float32)                  # (BC, S)
+        p_s = _expand(p.reshape(bt * _BLOCK_C, _H_PAD), seg
+                      ).reshape(bt, _BLOCK_C, s_dim)
+        corr_s = _expand(corr_h, seg)                      # (BT, S)
+        v = v_ref[:].astype(jnp.float32)                   # (BT, BC, S)
         acc_ref[:] = (acc_ref[:] * corr_s
-                      + jnp.sum(p_s * v, axis=0, keepdims=True))
+                      + jnp.sum(p_s * v, axis=1))
 
     @pl.when(c == n_blocks_max - 1)
     def _():
-        l_s = lax.dot_general(
-            jnp.maximum(l_ref[:], 1e-30), seg_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)           # (1, S)
+        l_s = _expand(jnp.maximum(l_ref[:], 1e-30), seg_ref[:])
         # padded head lanes leave zero columns in l_s; the corresponding
         # acc lanes are zero too, so guard the divide
-        o_ref[:] = (acc_ref[:] / jnp.maximum(l_s, 1e-30)
-                    ).astype(o_ref.dtype)
+        o_ref[:, 0, :] = (acc_ref[:] / jnp.maximum(l_s, 1e-30)
+                          ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -149,42 +168,48 @@ def _decode_attn_tpu(q, k, v, lo, hi, seg, *, split: int, n_head: int,
     b, s = q.shape
     c_pad = k.shape[1]
     nc = c_pad // _BLOCK_C
+    bt = _pick_bt(b, s, k.dtype.itemsize)
     kernel = functools.partial(_decode_attn_kernel, split=split,
-                               n_blocks_max=nc,
+                               n_blocks_max=nc, bt=bt,
                                scale=float(1.0 / ((s // n_head) ** 0.5)))
 
-    def kv_map(b_i, c_i, lo_ref, hi_ref):
+    def kv_map(b_i, c_i, hi_ref):
         # alias blocks beyond the live prefix to the last active block:
         # the pipeline re-reads a resident block instead of fetching
         n_active = jnp.maximum(pl.cdiv(hi_ref[0], _BLOCK_C), 1)
         return (b_i, jnp.minimum(c_i, n_active - 1), 0)
 
+    def row_map(b_i, c_i, hi_ref):
+        return (b_i, 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,       # lo (B,), hi (1,)
-        grid=(b, nc),
+        num_scalar_prefetch=1,       # hi (1,)
+        grid=(b // bt, nc),
         in_specs=[
-            pl.BlockSpec((1, s), lambda b_i, c_i, lo, hi: (b_i, 0)),
-            pl.BlockSpec((1, _BLOCK_C, s), kv_map),
-            pl.BlockSpec((1, _BLOCK_C, s), kv_map),
-            pl.BlockSpec((s, _H_PAD), lambda b_i, c_i, lo, hi: (0, 0)),
+            pl.BlockSpec((bt, 1, 1), row_map),       # lo (B, 1, 1) i32
+            pl.BlockSpec((bt, 1, s), row_map),       # q  (B, 1, S)
+            pl.BlockSpec((bt, _BLOCK_C, s), kv_map),
+            pl.BlockSpec((bt, _BLOCK_C, s), kv_map),
+            pl.BlockSpec((s, _H_PAD), lambda b_i, c_i, hi: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, s), lambda b_i, c_i, lo, hi: (b_i, 0)),
+        out_specs=pl.BlockSpec((bt, 1, s), row_map),
         scratch_shapes=[
-            pltpu.VMEM((1, s), jnp.float32),
-            pltpu.VMEM((1, _H_PAD), jnp.float32),
-            pltpu.VMEM((1, _H_PAD), jnp.float32),
+            pltpu.VMEM((bt, s), jnp.float32),
+            pltpu.VMEM((bt, _H_PAD), jnp.float32),
+            pltpu.VMEM((bt, _H_PAD), jnp.float32),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, s), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 1, s), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * c_pad * s,
             bytes_accessed=2 * b * c_pad * s * k.dtype.itemsize,
             transcendentals=b * c_pad * _H_PAD),
         interpret=interpret,
-    )(lo, hi, q, k, v, seg)
+    )(hi, lo[:, None, None], q[:, None], k, v, seg)
+    return out[:, 0]
 
 
 def _fallback(q, k, v, lo, hi, split: int, n_head: int):

@@ -110,25 +110,15 @@ class BatchTranscriber:
         return prompt_init, no_timestamps
 
     # ------------------------------------------------------------ transcribe
-    def transcribe(self, clips: List[np.ndarray],
-                   tparams: Optional[TranscribeParams] = None
-                   ) -> List[List[Segment]]:
-        ctx = self.ctx
-        pipe: WhisperPipeline = ctx.pipeline
-        tparams = tparams or TranscribeParams()
+    def _prepare(self, clips: List[np.ndarray],
+                 tparams: TranscribeParams):
+        """Async half: mel + state build + FIRST decode dispatch.
 
-        if not self._eligible(tparams):
-            # exact-semantics fallback: sequential per-stream pipeline
-            out = []
-            for clip in clips:
-                pipe.segments = []
-                pipe._prompt_past = []
-                out.append(list(pipe.full(tparams, clip)))
-            return out
-
+        Nothing here blocks on the device — the mel transfers and the
+        clip-loop dispatch just queue, so a caller can prepare batch k+1
+        while batch k still decodes (``transcribe_many``)."""
+        pipe: WhisperPipeline = self.ctx.pipeline
         prompt_init, no_timestamps = self._prompt_init(tparams)
-
-        # batched device-resident mel for ALL clips in one transfer
         mel_all, n_lens = pipe.mel.device_batch(clips)
 
         seeks, seek_ends, past_init = [], [], []
@@ -150,23 +140,75 @@ class BatchTranscriber:
                                 prompt_init, no_timestamps)
         state = cd.init_state(mel_all, n_lens, seeks, seek_ends,
                               past_init=past_init)
+        state = cd.run(pipe.params, state)
+        return {"cd": cd, "state": state, "clips": clips,
+                "seek_ends": seek_ends, "prompt_init": prompt_init,
+                "no_timestamps": no_timestamps, "tparams": tparams}
 
+    def _finish(self, job) -> List[List[Segment]]:
+        """Blocking half: drain/emit (+ further decode rounds if any)."""
+        pipe: WhisperPipeline = self.ctx.pipeline
+        cd, state = job["cd"], job["state"]
+        clips, tparams = job["clips"], job["tparams"]
+        prompt_init, no_timestamps = (job["prompt_init"],
+                                      job["no_timestamps"])
         segments: List[List[Segment]] = [[] for _ in clips]
         ts_states = [{"t_beg": 0, "t_last": 0, "tid_last": 0}
                      for _ in clips]
         while True:
-            state = cd.run(pipe.params, state)
             outs = cd.drain(state)
             self._emit(outs, clips, segments, prompt_init, tparams,
                        no_timestamps, ts_states)
             if bool(np.all(outs.done | (outs.cur_seek + 100
-                                        >= np.asarray(seek_ends)))):
+                                        >= np.asarray(job["seek_ends"])))):
                 break
             if int(outs.w.max()) == 0:
                 break  # no progress possible (safety)
             state = cd.reset_windows(state)
-
+            state = cd.run(pipe.params, state)
         return segments
+
+    def transcribe(self, clips: List[np.ndarray],
+                   tparams: Optional[TranscribeParams] = None
+                   ) -> List[List[Segment]]:
+        ctx = self.ctx
+        pipe: WhisperPipeline = ctx.pipeline
+        tparams = tparams or TranscribeParams()
+
+        if not self._eligible(tparams):
+            # exact-semantics fallback: sequential per-stream pipeline
+            out = []
+            for clip in clips:
+                pipe.segments = []
+                pipe._prompt_past = []
+                out.append(list(pipe.full(tparams, clip)))
+            return out
+
+        return self._finish(self._prepare(clips, tparams))
+
+    def transcribe_many(self, batches,
+                        tparams: Optional[TranscribeParams] = None):
+        """Pipelined bulk transcription: yields per-batch segment lists.
+
+        While batch k decodes ON-CHIP, batch k+1's host mel + transfers
+        ride the host->device link — the serving-loop overlap the
+        reference gets from its capture thread
+        (capture_stream_to_text.gd:69-120), here across utterance
+        batches.  On relay-tunneled runtimes this hides most of the mel
+        upload behind decode."""
+        tparams = tparams or TranscribeParams()
+        if not self._eligible(tparams):
+            for clips in batches:
+                yield self.transcribe(clips, tparams)
+            return
+        pending = None
+        for clips in batches:
+            job = self._prepare(clips, tparams)
+            if pending is not None:
+                yield self._finish(pending)
+            pending = job
+        if pending is not None:
+            yield self._finish(pending)
 
     # -------------------------------------------------------------- emission
     def _emit(self, outs, clips, segments, prompt_init, tparams,

@@ -119,3 +119,42 @@ def test_pallas_mel_kernel_matches_jnp(filters, rng, monkeypatch):
             assert diff.mean() < 1e-3 and diff.max() < 0.05
     finally:
         mel_kernel._log_mel_pallas.clear_cache()
+
+
+def test_log_mel_host_matches_oracle(rng):
+    """The fast vectorized host mel equals the f64 oracle (f32 tol)."""
+    from godot_whisper_tpu.audio.mel import (log_mel_host, log_mel_np,
+                                             mel_filterbank)
+    audio = rng.standard_normal(16000 * 3).astype(np.float32) * 0.1
+    filt = mel_filterbank(80)
+    want = log_mel_np(audio, filt)
+    got = log_mel_host(audio, filt)
+    assert got.shape[1] >= want.shape[1]
+    np.testing.assert_allclose(got[:, :want.shape[1]], want,
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_host_mel_frontend_path(rng, monkeypatch):
+    """MelFrontend with GWT_HOST_MEL=1 produces the same device mel (and
+    shapes) as the device-compute path."""
+    from godot_whisper_tpu.audio.mel import MelFrontend, mel_filterbank
+    audio = rng.standard_normal(16000 * 2).astype(np.float32) * 0.1
+    filt = mel_filterbank(80)
+    fe = MelFrontend(filt)
+    MelFrontend._host_mel.cache_clear()
+    monkeypatch.setenv("GWT_HOST_MEL", "0")
+    dev, n_dev = fe.device(audio)
+    bdev, bl_dev = fe.device_batch([audio, audio * 0.5])
+    MelFrontend._host_mel.cache_clear()
+    monkeypatch.setenv("GWT_HOST_MEL", "1")
+    host, n_host = fe.device(audio)
+    bhost, bl_host = fe.device_batch([audio, audio * 0.5])
+    MelFrontend._host_mel.cache_clear()
+    assert host.shape == dev.shape and n_host == n_dev
+    assert bhost.shape == bdev.shape and bl_host == bl_dev
+    np.testing.assert_allclose(np.asarray(host)[:, :n_dev],
+                               np.asarray(dev)[:, :n_dev],
+                               atol=3e-3, rtol=3e-3)
+    np.testing.assert_allclose(np.asarray(bhost)[:, :, :bl_dev[0]],
+                               np.asarray(bdev)[:, :, :bl_dev[0]],
+                               atol=3e-3, rtol=3e-3)
