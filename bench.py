@@ -132,6 +132,21 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             out[f"batch{nb}_throughput_audio_s_per_s"] = f"error: {e}"
 
+    # beam-5: the reference's DEFAULT quality config (whisper.cpp:4406),
+    # running in the device clip loop (grouped beam per stream)
+    if os.environ.get("BENCH_BEAM", "1") == "1":
+        try:
+            tpb = gwt.TranscribeParams(
+                strategy=gwt.SamplingStrategy.BEAM_SEARCH, beam_size=5,
+                best_of=5, temperature_inc=0.0, print_progress=False)
+            out["beam5_single_rtf"] = round(
+                _single_rtf(ctx, tpb, audio, n=2), 2)
+            out["beam5_batch8_throughput_audio_s_per_s"] = round(
+                _batch_throughput(ctx, tpb, 8, audio_seconds,
+                                  n_batches=2), 1)
+        except Exception as e:  # pragma: no cover
+            out["beam5_error"] = str(e)[:200]
+
     if os.environ.get("BENCH_LARGE", "1") == "1" and model != "large-v3":
         try:
             lctx = _load_ctx("large-v3", quantize, on_device=True)

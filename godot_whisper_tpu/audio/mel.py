@@ -26,6 +26,7 @@ oracle.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -333,7 +334,11 @@ class MelFrontend:
         padded = pad_audio(samples)
         # Bucket the padded length to 30 s multiples to bound jit cache size.
         bucket = -(-len(padded) // _CHUNK) * _CHUNK
-        if self._host_mel():
+        if os.environ.get("GWT_HOST_MEL") == "1":
+            # explicit-only for single clips: the transfer saving (mel is
+            # half the audio bytes) roughly cancels against the blocking
+            # host FFT, so the auto probe only flips the BATCH path where
+            # compute interleaves with the uploads
             n_frames = (bucket - N_FFT) // HOP_LENGTH + 1
             m = log_mel_host(samples, self.filters, n_frames=n_frames)
             mel = _upcast_mel(jnp.asarray(m.astype(np.float16)))

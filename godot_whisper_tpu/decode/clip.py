@@ -29,11 +29,14 @@ State is a donated pytree, so the loop is RESUMABLE: the host can feed mel
 incrementally (``n_filled``/``final``) and call ``run`` again — the same
 mechanism serves one-shot clips, many-stream batches, and streaming.
 
-Semantics mirror decode/loop.py ``full()`` (the parity-tested host
-orchestrator) with one deliberate divergence: ladder attempts at t > 0 run
-ONE sampled decoder per stream instead of ``best_of`` ranked decoders
-(whisper.cpp:5187-5206) — the host path remains for exact best_of>1
-semantics.
+Decode modes (whisper.cpp:5035-5067): every stream runs ``n_dec``
+decoder rows — BEAM search (deterministic top-k expansion, grouped
+per-stream merge) on the t = 0 rung when strategy is beam, ``best_of``
+independent samplers on t > 0 rungs — and the per-group sequence ranking
+(length-penalized score, entropy gate) selects each stream's best
+decoder on device (whisper.cpp:5611-5645).  The n_dec rows of a stream
+share ONE cross-KV row through the grouped decode-attention kernel (no
+materialized repeat; the reference shares it via its unified KV cache).
 
 Reference map: seek loop whisper.cpp:5150-5804; ladder :5023-5032,
 :5611-5671; prompt build :5237-5260; prompt_past update :5684-5692; stale
@@ -53,11 +56,11 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..models.config import WhisperConfig
-from ..models.model import cross_kv, encoder_forward
+from ..models.model import cross_kv, encoder_forward, quantize_cross_kv
 from ..ops.attention import use_pallas
 from .filters import FilterContext
-from .window import (WindowResult, WindowStatics, prompt_pass_per_stream,
-                     run_decode_loop)
+from .window import (WindowResult, WindowStatics, prompt_pass_grouped,
+                     prompt_pass_per_stream, run_decode_loop)
 
 SEEK_DELTA_FULL = 3000
 
@@ -84,6 +87,9 @@ class ClipStatics:
     test_mode: bool
     fused: bool
     seed: int
+    n_dec: int = 1             # decoder rows per stream (beam/best_of)
+    strategy: str = "greedy"   # "greedy" | "beam" (beam on the t=0 rung)
+    cross_int8: bool = False   # int8-quantize the cross-KV per window
 
 
 class ClipState(NamedTuple):
@@ -186,8 +192,6 @@ class ClipDecoder:
         # prompt_past rides only into t < 0.5 attempts (whisper.cpp:5239)
         self._use_past_arr = jnp.asarray(
             np.asarray([t < 0.5 for t in temps]))
-        self._argmax_arr = jnp.asarray(
-            np.asarray([t < 1e-6 for t in temps]))
         self._loop = jax.jit(self._build(), donate_argnums=(1,))
         self._reset = jax.jit(self._reset_impl, donate_argnums=(0,))
 
@@ -253,7 +257,7 @@ class ClipDecoder:
         waiting on unfilled mel, or out of window slots."""
         return self._loop(params, state, self.fctx.static_suppress,
                           self._init_tokens, self._temps_arr,
-                          self._use_past_arr, self._argmax_arr)
+                          self._use_past_arr)
 
     def reset_windows(self, state: ClipState) -> ClipState:
         return self._reset(state)
@@ -274,6 +278,8 @@ class ClipDecoder:
         config = self.config
         fctx = self.fctx
         B = statics.batch
+        ND = statics.n_dec
+        BR = B * ND                     # decoder rows (streams x decoders)
         n_ctx = statics.audio_ctx or config.n_audio_ctx
         n_mels = config.n_mels
         N_MAX = self.n_max
@@ -284,16 +290,26 @@ class ClipDecoder:
         take_cap = min(statics.n_max_text_ctx, PAST_CAP)
         rows = jnp.arange(B)
 
-        wstatics = WindowStatics(
-            config=config, batch=B, n_max=N_MAX, prompt_pad=P,
-            strategy="greedy", beam_size=1,
-            greedy_argmax=(statics.temps[0] < 1e-6),
-            suppress_blank=statics.suppress_blank,
-            no_timestamps=statics.no_timestamps,
-            single_segment=statics.single_segment,
-            max_tokens=statics.max_tokens,
-            test_mode=statics.test_mode, per_stream=True,
-            fused=statics.fused)
+        def wst(strategy: str, argmax: bool, fused: bool) -> WindowStatics:
+            return WindowStatics(
+                config=config, batch=BR, n_max=N_MAX, prompt_pad=P,
+                strategy=strategy, beam_size=ND,
+                greedy_argmax=argmax,
+                suppress_blank=statics.suppress_blank,
+                no_timestamps=statics.no_timestamps,
+                single_segment=statics.single_segment,
+                max_tokens=statics.max_tokens,
+                test_mode=statics.test_mode, per_stream=True,
+                fused=fused, kv_group=ND)
+
+        # rung 0: beam search (deterministic) or greedy/argmax; rungs
+        # t > 0: n_dec independent samplers (whisper.cpp:5035-5067)
+        beam0 = (statics.strategy == "beam" and ND > 1
+                 and statics.temps[0] < 1e-6)
+        wst0 = wst("beam" if beam0 else "greedy",
+                   argmax=statics.temps[0] < 1e-6,
+                   fused=statics.fused and not beam0)
+        wstS = wst("greedy", argmax=False, fused=statics.fused)
 
         def active_mask(st: ClipState) -> jax.Array:
             can_see = (st.n_filled >= st.seek + 2 * n_ctx) | st.final
@@ -324,7 +340,7 @@ class ClipDecoder:
             return prompt, (off + n_init).astype(jnp.int32), n_take, use_past
 
         def outer_body(params, st: ClipState, suppress_mask, init_tokens,
-                       temps_arr, use_past_arr, argmax_arr) -> ClipState:
+                       temps_arr, use_past_arr) -> ClipState:
             active = active_mask(st)
             tfctx = fctx._replace(static_suppress=suppress_mask)
 
@@ -339,72 +355,101 @@ class ClipDecoder:
             enc = encoder_forward(params, config, wins,
                                   audio_ctx=statics.audio_ctx or None)
             xkv = cross_kv(params, config, enc)
+            if statics.cross_int8:
+                xkv = quantize_cross_kv(xkv, config.n_text_head)
 
             # stale context near the end of audio (whisper.cpp:5176-5180)
             past_cnt = jnp.where(
                 active & (st.seek > st.seek_start)
                 & (st.seek + 500 >= st.seek_end), 0, st.past_cnt)
 
+            def rep(x):
+                return jnp.repeat(x, ND, axis=0) if ND > 1 else x
+
+            seek_r = rep(st.seek)
+            seek_end_r = rep(st.seek_end)
+
             # ---- temperature ladder over unsettled streams
             def ladder_cond(c):
                 return (c["t_idx"] < n_temps) & ~jnp.all(c["settled"])
 
-            def ladder_body(c):
-                t_idx = c["t_idx"]
-                temp = temps_arr[t_idx]
-                prompt, n_prompt, n_take, used_past = build_prompt(
-                    st.past_buf, past_cnt, use_past_arr[t_idx], init_tokens)
-                last_logits, kv = prompt_pass_per_stream(
-                    params, config, prompt, n_prompt, xkv, n_max=N_MAX)
-                # same per-attempt seeding as the host ladder
-                # (loop.py: seed + attempt index)
-                rng = jax.random.PRNGKey(statics.seed + t_idx)
-                if n_temps == 1:
-                    argmax_flag = None        # static specialization
-                else:
-                    argmax_flag = jnp.broadcast_to(argmax_arr[t_idx], (B,))
-                ls = run_decode_loop(
-                    params, config, tfctx, wstatics, xkv, kv,
-                    last_logits, n_prompt, temp, st.seek, st.seek_end, rng,
-                    suppress_mask, argmax_flag=argmax_flag)
+            def make_ladder_body(w):
+                def ladder_body(c):
+                    t_idx = c["t_idx"]
+                    temp = temps_arr[t_idx]
+                    prompt, n_prompt, n_take, used_past = build_prompt(
+                        st.past_buf, past_cnt, use_past_arr[t_idx],
+                        init_tokens)
+                    if ND > 1:
+                        last_logits, kv = prompt_pass_grouped(
+                            params, config, prompt, n_prompt, xkv, ND,
+                            n_max=N_MAX)
+                    else:
+                        last_logits, kv = prompt_pass_per_stream(
+                            params, config, prompt, n_prompt, xkv,
+                            n_max=N_MAX)
+                    # same per-attempt seeding as the host ladder
+                    # (loop.py: seed + attempt index)
+                    rng = jax.random.PRNGKey(statics.seed + t_idx)
+                    ls = run_decode_loop(
+                        params, config, tfctx, w, xkv, kv,
+                        last_logits, rep(n_prompt), temp, seek_r,
+                        seek_end_r, rng, suppress_mask)
 
-                # ---- sequence ranking gates (whisper.cpp:5611-5671)
-                rl = ls.result_len
-                tmask = jnp.arange(N_MAX)[None, :] < rl[:, None]
-                total = jnp.sum(ls.tok_plog * tmask, axis=1)
-                avg = total / jnp.maximum(rl, 1)
-                if statics.length_penalty > 0:
-                    pen = ((5.0 + rl) / 6.0) ** statics.length_penalty
-                else:
-                    pen = jnp.maximum(rl, 1).astype(jnp.float32)
-                entropy = _entropy_last32(ls.tokens, rl, N_MAX)
-                fail_h = (rl > 32) & (entropy < statics.entropy_thold)
-                valid = ~ls.failed & ~fail_h & (rl > 0)
-                is_last = t_idx == n_temps - 1
-                success = valid & (is_last | (avg >= statics.logprob_thold))
+                    # ---- per-group sequence ranking + gates
+                    # (whisper.cpp:5611-5671): among each stream's ND
+                    # decoders pick the best length-penalized score,
+                    # entropy gate per decoder, logprob gate on the best
+                    rl_r = ls.result_len                       # (BR,)
+                    tmask = jnp.arange(N_MAX)[None, :] < rl_r[:, None]
+                    total_r = jnp.sum(ls.tok_plog * tmask, axis=1)
+                    if statics.length_penalty > 0:
+                        pen_r = (((5.0 + rl_r) / 6.0)
+                                 ** statics.length_penalty)
+                    else:
+                        pen_r = jnp.maximum(rl_r, 1).astype(jnp.float32)
+                    entropy_r = _entropy_last32(ls.tokens, rl_r, N_MAX)
+                    fail_h = ((rl_r > 32)
+                              & (entropy_r < statics.entropy_thold))
+                    valid_r = ~ls.failed & ~fail_h & (rl_r > 0)
+                    score_r = jnp.where(valid_r, total_r / pen_r, -jnp.inf)
 
-                upd = ~c["settled"] & valid
+                    score_g = score_r.reshape(B, ND)
+                    best_j = jnp.argmax(score_g, axis=1)       # (B,)
+                    bidx = rows * ND + best_j
+                    valid = jnp.any(valid_r.reshape(B, ND), axis=1)
+                    avg = (total_r[bidx]
+                           / jnp.maximum(rl_r[bidx], 1))
+                    is_last = t_idx == n_temps - 1
+                    success = valid & (is_last
+                                       | (avg >= statics.logprob_thold))
 
-                def take2(new, old):
-                    return jnp.where(upd[:, None], new, old)
+                    upd = ~c["settled"] & valid
 
-                return {
-                    "t_idx": t_idx + 1,
-                    "settled": c["settled"] | (~c["settled"] & success),
-                    "has_best": c["has_best"] | upd,
-                    "bt_tokens": take2(ls.tokens, c["bt_tokens"]),
-                    "bt_p": take2(ls.tok_p, c["bt_p"]),
-                    "bt_plog": take2(ls.tok_plog, c["bt_plog"]),
-                    "bt_pt": take2(ls.tok_pt, c["bt_pt"]),
-                    "bt_ptsum": take2(ls.tok_ptsum, c["bt_ptsum"]),
-                    "bt_tid": take2(ls.tok_tid, c["bt_tid"]),
-                    "bt_rl": jnp.where(upd, rl, c["bt_rl"]),
-                    "bt_delta": jnp.where(upd, ls.seek_delta, c["bt_delta"]),
-                    "bt_take": jnp.where(upd, jnp.where(used_past, n_take, 0),
-                                         c["bt_take"]),
-                    "bt_temp": jnp.where(upd, temp, c["bt_temp"]),
-                    "steps": c["steps"] + ls.i,
-                }
+                    def take2(new, old):
+                        return jnp.where(upd[:, None], new[bidx], old)
+
+                    return {
+                        "t_idx": t_idx + 1,
+                        "settled": c["settled"] | (~c["settled"] & success),
+                        "has_best": c["has_best"] | upd,
+                        "bt_tokens": take2(ls.tokens, c["bt_tokens"]),
+                        "bt_p": take2(ls.tok_p, c["bt_p"]),
+                        "bt_plog": take2(ls.tok_plog, c["bt_plog"]),
+                        "bt_pt": take2(ls.tok_pt, c["bt_pt"]),
+                        "bt_ptsum": take2(ls.tok_ptsum, c["bt_ptsum"]),
+                        "bt_tid": take2(ls.tok_tid, c["bt_tid"]),
+                        "bt_rl": jnp.where(upd, rl_r[bidx], c["bt_rl"]),
+                        "bt_delta": jnp.where(upd, ls.seek_delta[bidx],
+                                              c["bt_delta"]),
+                        "bt_take": jnp.where(upd,
+                                             jnp.where(used_past, n_take,
+                                                       0),
+                                             c["bt_take"]),
+                        "bt_temp": jnp.where(upd, temp, c["bt_temp"]),
+                        "steps": c["steps"] + ls.i,
+                    }
+                return ladder_body
 
             zN = jnp.zeros((B, N_MAX))
             carry0 = {
@@ -420,14 +465,14 @@ class ClipDecoder:
                 "bt_temp": jnp.zeros(B, jnp.float32),
                 "steps": jnp.int32(0),
             }
-            if n_temps == 1:
-                # single-rung ladder: call the attempt body directly — a
-                # 1-trip lax.while_loop here makes XLA restructure the
-                # nested token loop (fission + duplicated layer scans,
-                # measured 2x decoder cost per token)
-                c = ladder_body(carry0)
-            else:
-                c = lax.while_loop(ladder_cond, ladder_body, carry0)
+            # rung 0 runs OUTSIDE the rung while-loop: its decode mode
+            # (beam/argmax) differs statically from the sampling rungs,
+            # and a 1-trip lax.while_loop makes XLA restructure the
+            # nested token loop (fission + duplicated layer scans,
+            # measured 2x decoder cost per token)
+            c = make_ladder_body(wst0)(carry0)
+            if n_temps > 1:
+                c = lax.while_loop(ladder_cond, make_ladder_body(wstS), c)
 
             emitted = c["has_best"] & active
             delta = jnp.where(c["has_best"], c["bt_delta"], SEEK_DELTA_FULL)
@@ -491,11 +536,11 @@ class ClipDecoder:
                 out_temp=out_temp, out_steps=out_steps)
 
         def clip_loop(params, st: ClipState, suppress_mask, init_tokens,
-                      temps_arr, use_past_arr, argmax_arr) -> ClipState:
+                      temps_arr, use_past_arr) -> ClipState:
             return lax.while_loop(
                 lambda s: jnp.any(active_mask(s)),
                 lambda s: outer_body(params, s, suppress_mask, init_tokens,
-                                     temps_arr, use_past_arr, argmax_arr),
+                                     temps_arr, use_past_arr),
                 st)
 
         return clip_loop

@@ -422,16 +422,16 @@ class WhisperPipeline:
     # -------------------------------------------------- device-resident loop
     def _device_loop_eligible(self, tparams: TranscribeParams,
                               temperatures, strategy: str) -> bool:
-        return (strategy == "greedy"
+        # beam/best_of run on device with a STATIC n_dec rows per stream;
+        # mixed beam_size != best_of across rungs keeps the host path
+        uniform = (strategy == "greedy" or len(temperatures) == 1
+                   or tparams.best_of == tparams.beam_size)
+        return (uniform
                 and tparams.grammar_rules is None
                 and tparams.logits_filter_callback is None
                 and tparams.encoder_begin_callback is None
                 and tparams.progress_callback is None
-                and tparams.abort_callback is None
-                and not tparams.cross_kv_int8
-                # one decoder per ladder rung only (whisper.cpp:5187-5206
-                # best_of ranking stays on the host path)
-                and all(tparams.n_decoders_at(t) == 1 for t in temperatures))
+                and tparams.abort_callback is None)
 
     def _clip_decoder(self, tparams: TranscribeParams, temperatures,
                       prompt_init, no_timestamps: bool, f_cap: int):
@@ -452,7 +452,11 @@ class WhisperPipeline:
             single_segment=tparams.single_segment,
             max_tokens=tparams.max_tokens,
             test_mode=(self.n_loaded == 0), fused=use_pallas(),
-            seed=tparams.seed)
+            seed=tparams.seed,
+            n_dec=tparams.n_decoders(),
+            strategy=("beam" if tparams.strategy
+                      == SamplingStrategy.BEAM_SEARCH else "greedy"),
+            cross_int8=tparams.cross_kv_int8)
         key = ("clip", statics, tparams.suppress_non_speech_tokens,
                tparams.tdrz_enable, round(tparams.max_initial_ts, 6),
                tuple(prompt_init))

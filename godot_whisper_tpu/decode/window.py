@@ -129,6 +129,10 @@ class WindowStatics:
     # the whole filter+sample stage as ONE program instead of ~35 VPU
     # kernels per step.  TPU-only; beam/CPU keep the jnp stack.
     fused: bool = False
+    # kv_group: consecutive groups of kv_group batch rows (the decoders /
+    # beams of one stream) share a single cross-KV row — the batched clip
+    # loop's beam/best_of mode passes xkv with B // kv_group rows
+    kv_group: int = 1
 
 
 def _sample_greedy(st: LoopState, statics: WindowStatics, fctx: FilterContext,
@@ -167,8 +171,14 @@ def _sample_greedy(st: LoopState, statics: WindowStatics, fctx: FilterContext,
 
 
 def _sample_beam(st: LoopState, statics: WindowStatics, fctx: FilterContext):
-    """Beam expansion + global merge (whisper.cpp:5327-5419)."""
+    """Beam expansion + merge (whisper.cpp:5327-5419), GROUPED: the batch
+    is G independent beam groups of K rows each (G = batch // beam_size;
+    the single-stream host path is the G=1 special case, the batched clip
+    loop runs G = n_streams groups in one program — the reference's
+    analogue is one whisper_state per thread, each with its own beam
+    pool, whisper.cpp:5817-5930)."""
     B, K = statics.batch, statics.beam_size
+    G = B // K
     rows = jnp.arange(B)
     live = ~(st.completed | st.failed)
 
@@ -177,9 +187,9 @@ def _sample_beam(st: LoopState, statics: WindowStatics, fctx: FilterContext):
     cand_scores = st.sum_logprobs_all[:, None] + cand_plog  # (B, K)
     cand_scores = jnp.where(live[:, None], cand_scores, -jnp.inf)
 
-    flat_scores = cand_scores.reshape(-1)                   # (B*K,)
-    order = jnp.argsort(-flat_scores)                       # stable desc
-    sorted_scores = flat_scores[order]
+    flat_scores = cand_scores.reshape(G, K * K)             # per group
+    order = jnp.argsort(-flat_scores, axis=1)               # stable desc
+    sorted_scores = jnp.take_along_axis(flat_scores, order, axis=1)
 
     # equal-score dedupe (whisper.cpp:5393).  The reference guards it with
     # i > 0 because its beam expansion SAMPLES candidates (equal draws
@@ -190,30 +200,36 @@ def _sample_beam(st: LoopState, statics: WindowStatics, fctx: FilterContext):
     # all beams share state at step 0, dedupe collapses the K identical
     # candidate sets to the top-K DISTINCT tokens, exactly the textbook
     # (and HF-validated, tests/test_decode_parity.py) first expansion.
-    starts = jnp.concatenate([jnp.array([True]),
-                              sorted_scores[1:] != sorted_scores[:-1]])
-    group_rank = jnp.cumsum(starts) - 1                     # (B*K,)
-    n_groups = jnp.maximum(jnp.sum(starts), 1)
-    # first sorted position of each group
-    n = flat_scores.shape[0]
-    first_pos = jnp.full((n,), n - 1, dtype=jnp.int32)
-    first_pos = first_pos.at[group_rank].min(
-        jnp.arange(n, dtype=jnp.int32))
+    n = K * K
+    starts = jnp.concatenate(
+        [jnp.ones((G, 1), bool),
+         sorted_scores[:, 1:] != sorted_scores[:, :-1]], axis=1)
+    group_rank = jnp.cumsum(starts, axis=1) - 1             # (G, K*K)
+    n_groups = jnp.maximum(jnp.sum(starts, axis=1), 1)      # (G,)
+    # first sorted position of each distinct-score run, per group
+    first_pos = jnp.full((G, n), n - 1, dtype=jnp.int32)
+    first_pos = first_pos.at[jnp.arange(G)[:, None], group_rank].min(
+        jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (G, n)))
 
-    # j-th live slot takes group (slot_rank % n_groups)
-    slot_rank = jnp.cumsum(live.astype(jnp.int32)) - 1      # (B,)
-    target_group = jnp.where(live, slot_rank % n_groups, 0)
-    chosen_sorted = first_pos[target_group]
-    chosen_flat = order[chosen_sorted]                      # (B,)
+    # j-th live slot of each group takes run (slot_rank % n_runs)
+    live_g = live.reshape(G, K)
+    slot_rank = jnp.cumsum(live_g.astype(jnp.int32), axis=1) - 1
+    target = jnp.where(live_g, slot_rank % n_groups[:, None], 0)
+    chosen_sorted = jnp.take_along_axis(first_pos, target, axis=1)
+    chosen_flat = jnp.take_along_axis(order, chosen_sorted, axis=1)
 
-    src_beam = (chosen_flat // K).astype(jnp.int32)
-    ids_new = cand_ids.reshape(-1)[chosen_flat].astype(jnp.int32)
-    plog_new = cand_plog.reshape(-1)[chosen_flat]
-    score_new = flat_scores[chosen_flat]
+    src_beam = ((chosen_flat // K)
+                + jnp.arange(G)[:, None] * K).reshape(B).astype(jnp.int32)
+    ids_new = jnp.take_along_axis(
+        cand_ids.reshape(G, n), chosen_flat, axis=1).reshape(B)
+    plog_new = jnp.take_along_axis(
+        cand_plog.reshape(G, n), chosen_flat, axis=1).reshape(B)
+    score_new = jnp.take_along_axis(
+        flat_scores, chosen_flat, axis=1).reshape(B)
 
     # dead slots keep themselves
     src = jnp.where(live, src_beam, rows)
-    ids = jnp.where(live, ids_new, 0)
+    ids = jnp.where(live, ids_new.astype(jnp.int32), 0)
     plog = jnp.where(live, plog_new, 0.0)
 
     # gather candidate-carried state from source beams (whisper.cpp:5332,
@@ -256,6 +272,24 @@ def prompt_pass_per_stream(params, config: WhisperConfig, prompt: jax.Array,
         params, config, prompt, positions, kv0, xkv_b, n_valid=n_prompt,
         logit_rows=jnp.broadcast_to(n_prompt - 1, (B,)))
     return plogits[:, 0], kv                                    # (B, V)
+
+
+def prompt_pass_grouped(params, config: WhisperConfig, prompt: jax.Array,
+                        n_prompt: jax.Array, xkv_g, n_dec: int,
+                        n_max: Optional[int] = None):
+    """Grouped prompt pass for the batched beam/best_of clip loop: G
+    streams decode their prompts ONCE, then logits and self-KV broadcast
+    to each stream's n_dec decoder rows (the functional equivalent of
+    kv_cache_seq_cp 0->j per stream, whisper.cpp:5277).
+
+    prompt: (G, P); n_prompt: (G,); xkv_g: cross-KV with G rows.
+    Returns (last_logits (G*n_dec, V), kv with G*n_dec rows)."""
+    last_g, kv_g = prompt_pass_per_stream(params, config, prompt,
+                                          n_prompt, xkv_g, n_max=n_max)
+    last = jnp.repeat(last_g, n_dec, axis=0)
+    kv = KVCache(k=jnp.repeat(kv_g.k, n_dec, axis=1),
+                 v=jnp.repeat(kv_g.v, n_dec, axis=1))
+    return last, kv
 
 
 def prompt_pass_shared(params, config: WhisperConfig, prompt: jax.Array,
@@ -484,7 +518,8 @@ def run_decode_loop(params, config: WhisperConfig, fctx: FilterContext,
                         params, config, tokens[:, i],
                         (n_prompt + i).astype(jnp.int32), st.kv, xkv_b,
                         lo=n_prompt, slot=statics.prompt_pad + i,
-                        split=statics.prompt_pad)
+                        split=statics.prompt_pad,
+                        kv_group=statics.kv_group)
                     if statics.fused:
                         return st._replace(
                             kv=kv, probs=logits.astype(jnp.float32))

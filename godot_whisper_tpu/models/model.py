@@ -458,6 +458,9 @@ def decoder_step(
     slot: jax.Array,          # scalar — cache slot (batch-uniform)
     split: int,               # static prompt capacity: slots [lo, split)
                               # are the masked per-row gap
+    kv_group: int = 1,        # xkv batch = B // kv_group: groups of
+                              # kv_group rows (beams of one stream) share
+                              # one cross-KV row
 ) -> Tuple[jax.Array, KVCache]:
     """THE autoregressive hot step: one token per row, fused decode
     attention, one uniform-slot cache write per layer.
@@ -506,12 +509,17 @@ def decoder_step(
         h = layer_norm(x, lnc["g"], lnc["b"]).astype(cdtype)
         qc = _proj(h, cattn["wq"], cattn["bq"])
         if quant_xkv:
-            oc = cross_attention_quant(qc, *xkv_l, n_head=n_head,
+            xl = xkv_l
+            if kv_group > 1:
+                # grouped int8 kernel not yet implemented: repeat the
+                # int8 rows per beam (still half the bytes of bf16)
+                xl = tuple(jnp.repeat(a, kv_group, axis=0) for a in xl)
+            oc = cross_attention_quant(qc, *xl, n_head=n_head,
                                        t_valid=cross_lo)
         else:
             oc = decode_attention(qc, xkv_l[0], xkv_l[1], cross_lo,
                                   jnp.int32(0), split=t_pad,
-                                  n_head=n_head)
+                                  n_head=n_head, kv_group=kv_group)
         x = x + _proj(oc.astype(cdtype), cattn["wo"], cattn["bo"],
                       out_dtype=cdtype)
 

@@ -41,13 +41,18 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 from .attention import use_pallas
-from .decode_attention import (_BLOCK_C, _H_PAD, _NEG_INF, _expand,
+from .decode_attention import (_BLOCK_C, _H_PAD, _NEG_INF,
                                _fallback, _pick_bt, _segment_matrix)
 
 
 def _xattn_q_kernel(hi_ref, lo_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
-                    seg_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                    segt_ref, o_ref, acc_ref, m_ref, l_ref, *,
                     n_blocks_max: int, scale: float, bt: int):
+    """Per-row unrolled int8 cross-attention block (all-2D ops — see
+    decode_attention._decode_attn_kernel for the structure rationale).
+    q folds into the transposed segment matrix; int8 K upcasts exactly
+    to bf16 for the score matmul; the per-(position, head) K scales
+    apply to the f32 scores, V's per-head scale at normalization."""
     c = pl.program_id(1)
     n_active = jnp.maximum(pl.cdiv(hi_ref[0], _BLOCK_C), 1)
 
@@ -59,38 +64,43 @@ def _xattn_q_kernel(hi_ref, lo_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
 
     @pl.when(c < n_active)
     def _():
-        q = q_ref[:, 0, :].astype(jnp.float32) * scale    # (BT, S)
-        kq = kq_ref[:].astype(jnp.float32)                # (BT, BC, S)
-        seg = seg_ref[:]                                  # (S, HP)
-        e = kq * q[:, None, :]
-        s_dim = q.shape[-1]
-        s = jnp.dot(e.reshape(bt * _BLOCK_C, s_dim), seg,
-                    preferred_element_type=jnp.float32
-                    ).reshape(bt, _BLOCK_C, _H_PAD)
-        s = s * ks_ref[:].astype(jnp.float32)             # dequant scores
+        segt = segt_ref[:]                                # (HP, S) bf16
+        slot2 = (c * _BLOCK_C + lax.broadcasted_iota(
+            jnp.int32, (_BLOCK_C, _H_PAD), 0))
+        for b_ in range(bt):
+            kq = kq_ref[b_].astype(jnp.bfloat16)          # (BC, S) exact
+            v = vq_ref[b_].astype(jnp.float32)            # (BC, S)
+            q_b = q_ref[b_, 0].astype(jnp.bfloat16)       # (S,)
+            lo_b = lo_ref[b_, 0, 0]
+            seg_q = segt * q_b[None, :]                   # (HP, S)
+            s = lax.dot_general(
+                kq, seg_q, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (BC, HP)
+            s = s * ks_ref[b_].astype(jnp.float32)        # dequant scores
 
-        slot = (c * _BLOCK_C + lax.broadcasted_iota(
-            jnp.int32, (bt, _BLOCK_C, _H_PAD), 1))
-        lo = lo_ref[:, :, 0]                              # (BT, 1)
-        s = jnp.where(slot < lo[:, :, None], s, _NEG_INF)
+            s = jnp.where(slot2 < lo_b, s, _NEG_INF)
 
-        m_new = jnp.maximum(m_ref[:], jnp.max(s, axis=1))  # (BT, HP)
-        p = jnp.exp(s - m_new[:, None, :])
-        corr_h = jnp.exp(m_ref[:] - m_new)
-        l_ref[:] = l_ref[:] * corr_h + jnp.sum(p, axis=1)
-        m_ref[:] = m_new
+            m_new = jnp.maximum(m_ref[b_], jnp.max(s, axis=0))
+            p = jnp.exp(s - m_new[None, :])               # (BC, HP)
+            corr_h = jnp.exp(m_ref[b_] - m_new)
+            l_ref[b_, :] = l_ref[b_] * corr_h + jnp.sum(p, axis=0)
+            m_ref[b_, :] = m_new
 
-        p_s = _expand(p.reshape(bt * _BLOCK_C, _H_PAD), seg
-                      ).reshape(bt, _BLOCK_C, s_dim)
-        corr_s = _expand(corr_h, seg)                      # (BT, S)
-        v = vq_ref[:].astype(jnp.float32)                  # (BT, BC, S)
-        acc_ref[:] = (acc_ref[:] * corr_s
-                      + jnp.sum(p_s * v, axis=1))
+            p_s = jnp.dot(p.astype(jnp.bfloat16), segt,
+                          preferred_element_type=jnp.float32)  # (BC, S)
+            corr_s = jnp.dot(corr_h[None, :].astype(jnp.float32),
+                             segt.astype(jnp.float32),
+                             preferred_element_type=jnp.float32)[0]
+            acc_ref[b_, :] = (acc_ref[b_] * corr_s
+                              + jnp.sum(p_s * v, axis=0))
 
     @pl.when(c == n_blocks_max - 1)
     def _():
-        l_s = _expand(jnp.maximum(l_ref[:], 1e-30), seg_ref[:])
-        vs_s = _expand(vs_ref[:, 0, :], seg_ref[:])        # (BT, S)
+        segt_f = segt_ref[:].astype(jnp.float32)
+        l_s = jnp.dot(jnp.maximum(l_ref[:], 1e-30), segt_f,
+                      preferred_element_type=jnp.float32)  # (BT, S)
+        vs_s = jnp.dot(vs_ref[:, 0, :], segt_f,
+                       preferred_element_type=jnp.float32)  # (BT, S)
         o_ref[:, 0, :] = (acc_ref[:] / jnp.maximum(l_s, 1e-30) * vs_s
                           ).astype(o_ref.dtype)
 
@@ -123,7 +133,7 @@ def _xattn_q_tpu(q, k_q, k_s, v_q, v_s, lo, hi, seg, *, n_head: int,
             pl.BlockSpec((bt, _BLOCK_C, _H_PAD), kv_map),
             pl.BlockSpec((bt, _BLOCK_C, s), kv_map),
             pl.BlockSpec((bt, 1, _H_PAD), row_map),   # v_s (B, 1, HP)
-            pl.BlockSpec((s, _H_PAD), lambda b_i, c_i, hi: (0, 0)),
+            pl.BlockSpec((_H_PAD, s), lambda b_i, c_i, hi: (0, 0)),
         ],
         out_specs=pl.BlockSpec((bt, 1, s), row_map),
         scratch_shapes=[

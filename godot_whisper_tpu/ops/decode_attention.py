@@ -89,29 +89,35 @@ def _pick_bt(b: int, s: int, itemsize: int) -> int:
 
 @functools.lru_cache(maxsize=None)
 def _segment_matrix(s: int, n_head: int) -> np.ndarray:
-    """(S, H_PAD) f32 with SEG[s, h] = 1 iff lane s belongs to head h."""
+    """TRANSPOSED segment matrix (H_PAD, S) bf16: SEG_T[h, s] = 1 iff
+    lane s belongs to head h.  Head-major orientation so every in-kernel
+    use broadcasts/contracts along natural axes (Mosaic rejects
+    lane-direction vector broadcasts)."""
     d = s // n_head
-    seg = np.zeros((s, _H_PAD), np.float32)
+    seg = np.zeros((_H_PAD, s), np.float32)
     for h in range(n_head):
-        seg[h * d:(h + 1) * d, h] = 1.0
-    return seg
+        seg[h, h * d:(h + 1) * d] = 1.0
+    import jax.numpy as _jnp
+    return seg.astype(_jnp.bfloat16)
 
 
-def _expand(x, seg):
-    """X (..., Hp) @ SEG^T -> (..., S) without an in-kernel transpose."""
-    return lax.dot_general(x, seg,
-                           dimension_numbers=(((x.ndim - 1,), (1,)),
-                                              ((), ())),
-                           preferred_element_type=jnp.float32)
-
-
-def _decode_attn_kernel(hi_ref, lo_ref, q_ref, k_ref, v_ref, seg_ref,
+def _decode_attn_kernel(hi_ref, lo_ref, q_ref, k_ref, v_ref, segt_ref,
                         o_ref, acc_ref, m_ref, l_ref, *,
                         split: int, n_blocks_max: int, scale: float,
-                        bt: int):
+                        bt: int, shared_kv: bool = False):
     """One (b-tile, c-block) step: online-softmax attention for BT
-    single-query rows.  Scratch acc (BT, S), m/l (BT, H_PAD) persist
-    across the c grid dimension (TPU grids run sequentially)."""
+    single-query rows, unrolled per row (all-2D ops).  ``shared_kv``:
+    the BT rows are one BEAM GROUP attending a single shared K/V block
+    (cross-attention of K beams over one stream's audio — the reference
+    shares this through its unified cache, whisper.cpp:2357-2423).
+
+    Per row: q folds into the transposed segment matrix (seg is 0/1, so
+    ``seg_q = SEG_T * q_row`` is exactly the bf16 q values) and the
+    score "matmul" K @ seg_q^T runs at bf16 MXU rate with f32
+    accumulation — numerically identical to the standard bf16 attention
+    einsum; the 1/sqrt(D) softmax scale applies to the f32 scores.
+    Scratch acc (BT, S), m/l (BT, H_PAD) persist across the c grid
+    dimension (TPU grids run sequentially)."""
     c = pl.program_id(1)
     n_active = jnp.maximum(pl.cdiv(hi_ref[0], _BLOCK_C), 1)
 
@@ -123,55 +129,69 @@ def _decode_attn_kernel(hi_ref, lo_ref, q_ref, k_ref, v_ref, seg_ref,
 
     @pl.when(c < n_active)
     def _():
-        q = q_ref[:, 0, :].astype(jnp.float32) * scale    # (BT, S)
-        k = k_ref[:].astype(jnp.float32)                  # (BT, BC, S)
-        seg = seg_ref[:]                                  # (S, HP)
-        e = k * q[:, None, :]                             # (BT, BC, S)
-        s_dim = q.shape[-1]
-        s = jnp.dot(e.reshape(bt * _BLOCK_C, s_dim), seg,
-                    preferred_element_type=jnp.float32
-                    ).reshape(bt, _BLOCK_C, _H_PAD)
+        segt = segt_ref[:]                                # (HP, S) bf16
+        if shared_kv:
+            k = k_ref[0].astype(jnp.bfloat16)             # (BC, S)
+            v = v_ref[0].astype(jnp.float32)
+        slot2 = (c * _BLOCK_C + lax.broadcasted_iota(
+            jnp.int32, (_BLOCK_C, _H_PAD), 0))
+        for b_ in range(bt):
+            if shared_kv:
+                q_b = q_ref[0, b_].astype(jnp.bfloat16)   # (S,)
+                lo_b = lo_ref[0, b_, 0]
+            else:
+                k = k_ref[b_].astype(jnp.bfloat16)        # (BC, S)
+                v = v_ref[b_].astype(jnp.float32)
+                q_b = q_ref[b_, 0].astype(jnp.bfloat16)
+                lo_b = lo_ref[b_, 0, 0]
+            seg_q = segt * q_b[None, :]                   # (HP, S)
+            s = lax.dot_general(
+                k, seg_q, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (BC, HP)
 
-        slot = (c * _BLOCK_C + lax.broadcasted_iota(
-            jnp.int32, (bt, _BLOCK_C, _H_PAD), 1))
-        lo = lo_ref[:, :, 0]                              # (BT, 1)
-        ok = ((slot < lo[:, :, None])
-              | ((slot >= split) & (slot < hi_ref[0])))
-        s = jnp.where(ok, s, _NEG_INF)
+            ok = ((slot2 < lo_b)
+                  | ((slot2 >= split) & (slot2 < hi_ref[0])))
+            s = jnp.where(ok, s, _NEG_INF)
 
-        m_new = jnp.maximum(m_ref[:], jnp.max(s, axis=1))  # (BT, HP)
-        p = jnp.exp(s - m_new[:, None, :])                 # (BT, BC, HP)
-        corr_h = jnp.exp(m_ref[:] - m_new)                 # (BT, HP)
-        l_ref[:] = l_ref[:] * corr_h + jnp.sum(p, axis=1)
-        m_ref[:] = m_new
+            m_new = jnp.maximum(m_ref[b_],
+                                jnp.max(s, axis=0))       # (HP,)
+            p = jnp.exp(s - m_new[None, :])               # (BC, HP)
+            corr_h = jnp.exp(m_ref[b_] - m_new)           # (HP,)
+            l_ref[b_, :] = l_ref[b_] * corr_h + jnp.sum(p, axis=0)
+            m_ref[b_, :] = m_new
 
-        p_s = _expand(p.reshape(bt * _BLOCK_C, _H_PAD), seg
-                      ).reshape(bt, _BLOCK_C, s_dim)
-        corr_s = _expand(corr_h, seg)                      # (BT, S)
-        v = v_ref[:].astype(jnp.float32)                   # (BT, BC, S)
-        acc_ref[:] = (acc_ref[:] * corr_s
-                      + jnp.sum(p_s * v, axis=1))
+            # probs cast to bf16 for the expand matmul — the precision
+            # the dense einsum path uses for its probs @ V contraction
+            p_s = jnp.dot(p.astype(jnp.bfloat16), segt,
+                          preferred_element_type=jnp.float32)  # (BC, S)
+            corr_s = jnp.dot(corr_h[None, :].astype(jnp.float32),
+                             segt.astype(jnp.float32),
+                             preferred_element_type=jnp.float32)[0]
+            acc_ref[b_, :] = (acc_ref[b_] * corr_s
+                              + jnp.sum(p_s * v, axis=0))
 
     @pl.when(c == n_blocks_max - 1)
     def _():
-        l_s = _expand(jnp.maximum(l_ref[:], 1e-30), seg_ref[:])
+        l_s = jnp.dot(jnp.maximum(l_ref[:], 1e-30),
+                      segt_ref[:].astype(jnp.float32),
+                      preferred_element_type=jnp.float32)  # (BT, S)
         # padded head lanes leave zero columns in l_s; the corresponding
         # acc lanes are zero too, so guard the divide
-        o_ref[:, 0, :] = (acc_ref[:] / jnp.maximum(l_s, 1e-30)
-                          ).astype(o_ref.dtype)
+        out = (acc_ref[:] / jnp.maximum(l_s, 1e-30)).astype(o_ref.dtype)
+        if shared_kv:
+            o_ref[0] = out
+        else:
+            o_ref[:, 0, :] = out
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("split", "n_head", "interpret"))
+                   static_argnames=("split", "n_head", "kv_group",
+                                    "interpret"))
 def _decode_attn_tpu(q, k, v, lo, hi, seg, *, split: int, n_head: int,
-                     interpret: bool = False):
+                     kv_group: int = 1, interpret: bool = False):
     b, s = q.shape
     c_pad = k.shape[1]
     nc = c_pad // _BLOCK_C
-    bt = _pick_bt(b, s, k.dtype.itemsize)
-    kernel = functools.partial(_decode_attn_kernel, split=split,
-                               n_blocks_max=nc, bt=bt,
-                               scale=float(1.0 / ((s // n_head) ** 0.5)))
 
     def kv_map(b_i, c_i, hi_ref):
         # alias blocks beyond the live prefix to the last active block:
@@ -182,6 +202,47 @@ def _decode_attn_tpu(q, k, v, lo, hi, seg, *, split: int, n_head: int,
     def row_map(b_i, c_i, hi_ref):
         return (b_i, 0, 0)
 
+    if kv_group > 1:
+        # beam groups share one K/V row: grid over (G, NC), q/out/lo
+        # blocked (1, K, ...) per group
+        g = b // kv_group
+        bt = kv_group
+        kernel = functools.partial(
+            _decode_attn_kernel, split=split, n_blocks_max=nc, bt=bt,
+            scale=float(1.0 / ((s // n_head) ** 0.5)), shared_kv=True)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(g, nc),
+            in_specs=[
+                pl.BlockSpec((1, bt, 1), row_map),     # lo (G, K, 1)
+                pl.BlockSpec((1, bt, s), row_map),     # q  (G, K, S)
+                pl.BlockSpec((1, _BLOCK_C, s), kv_map),
+                pl.BlockSpec((1, _BLOCK_C, s), kv_map),
+                pl.BlockSpec((_H_PAD, s), lambda b_i, c_i, hi: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bt, s), row_map),
+            scratch_shapes=[
+                pltpu.VMEM((bt, s), jnp.float32),
+                pltpu.VMEM((bt, _H_PAD), jnp.float32),
+                pltpu.VMEM((bt, _H_PAD), jnp.float32),
+            ],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((g, bt, s), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * c_pad * s,
+                bytes_accessed=2 * g * c_pad * s * k.dtype.itemsize,
+                transcendentals=b * c_pad * _H_PAD),
+            interpret=interpret,
+        )(hi, lo.reshape(g, bt, 1), q.reshape(g, bt, s), k, v, seg)
+        return out.reshape(b, s)
+
+    bt = _pick_bt(b, s, k.dtype.itemsize)
+    kernel = functools.partial(_decode_attn_kernel, split=split,
+                               n_blocks_max=nc, bt=bt,
+                               scale=float(1.0 / ((s // n_head) ** 0.5)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,       # hi (1,)
         grid=(b // bt, nc),
@@ -190,7 +251,7 @@ def _decode_attn_tpu(q, k, v, lo, hi, seg, *, split: int, n_head: int,
             pl.BlockSpec((bt, 1, s), row_map),       # q  (B, 1, S)
             pl.BlockSpec((bt, _BLOCK_C, s), kv_map),
             pl.BlockSpec((bt, _BLOCK_C, s), kv_map),
-            pl.BlockSpec((s, _H_PAD), lambda b_i, c_i, hi: (0, 0)),
+            pl.BlockSpec((_H_PAD, s), lambda b_i, c_i, hi: (0, 0)),
         ],
         out_specs=pl.BlockSpec((bt, 1, s), row_map),
         scratch_shapes=[
@@ -212,12 +273,16 @@ def _decode_attn_tpu(q, k, v, lo, hi, seg, *, split: int, n_head: int,
     return out[:, 0]
 
 
-def _fallback(q, k, v, lo, hi, split: int, n_head: int):
+def _fallback(q, k, v, lo, hi, split: int, n_head: int,
+              kv_group: int = 1):
     """jnp reference path: reshape to heads, masked softmax, f32."""
     b, s = q.shape
     c = k.shape[1]
     d = s // n_head
     scale = 1.0 / (d ** 0.5)
+    if kv_group > 1:
+        k = jnp.repeat(k, kv_group, axis=0)
+        v = jnp.repeat(v, kv_group, axis=0)
     qh = q.reshape(b, n_head, d).astype(jnp.float32) * scale
     kh = k.reshape(b, c, n_head, d).astype(jnp.float32)
     vh = v.reshape(b, c, n_head, d).astype(jnp.float32)
@@ -233,13 +298,15 @@ def _fallback(q, k, v, lo, hi, split: int, n_head: int):
 
 def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                      lo: jax.Array, hi: jax.Array, *,
-                     split: int, n_head: int,
+                     split: int, n_head: int, kv_group: int = 1,
                      interpret: bool = False) -> jax.Array:
     """Single-query attention over a merged-head cache.
 
-    q: (B, S); k/v: (B, C, S) with C a multiple of 256 (pad with zeros —
-    masked); lo: (B,) i32; hi: scalar i32 (traced ok).  Slot c of row b
-    is valid iff ``c < lo[b] or split <= c < hi``.
+    q: (B, S); k/v: (B // kv_group, C, S) with C a multiple of 256 (pad
+    with zeros — masked); lo: (B,) i32; hi: scalar i32 (traced ok).
+    Slot c of row b is valid iff ``c < lo[b] or split <= c < hi``.
+    ``kv_group > 1``: consecutive groups of kv_group query rows (beams of
+    one stream) share a single K/V row — no materialized repeat.
 
     Self-attention:  lo = per-row prompt length, split = padded prompt
     capacity, hi = split + step + 1.
@@ -249,7 +316,8 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     Returns (B, S) float32.
     """
     if not (use_pallas() or interpret):
-        return _fallback(q, k, v, lo, hi, split, n_head)
+        return _fallback(q, k, v, lo, hi, split, n_head,
+                         kv_group=kv_group)
     interpret = interpret or os.environ.get("GWT_PALLAS_INTERPRET") == "1"
     b, s = q.shape
     seg = jnp.asarray(_segment_matrix(s, n_head))
@@ -260,4 +328,4 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                          jnp.max(lo))
     return _decode_attn_tpu(q, k, v, lo, hi_eff, seg,
                             split=split, n_head=n_head,
-                            interpret=interpret)
+                            kv_group=kv_group, interpret=interpret)

@@ -13,11 +13,13 @@ Under a ("dp","tp") mesh the stream axis shards over dp: place the stacked
 mel with ``parallel.sharding.batch_sharding`` and XLA splits both encode
 and decode across chips.
 
-Semantics: greedy with the full in-jit temperature ladder and entropy/
-logprob gates (one sampled decoder per stream at t>0 — the host path keeps
-exact best_of>1 ranking).  Token-level timestamps run as the standard host
-post-pass per stream (whisper.cpp:6315-6599).  Grammar / logit-callback
-decoding and beam search fall back to sequential per-stream ``full()``.
+Semantics: the full in-jit temperature ladder with entropy/logprob gates
+and per-stream decoder pools — beam search at t=0, best_of samplers at
+t>0, ranked on device (decode/clip.py; the reference's default beam-5
+quality config runs batched here, whisper.cpp:5035-5067).  Token-level
+timestamps run as the standard host post-pass per stream
+(whisper.cpp:6315-6599).  Grammar / logit-callback decoding falls back
+to sequential per-stream ``full()``.
 """
 
 from __future__ import annotations
@@ -48,13 +50,15 @@ class BatchTranscriber:
 
     # --------------------------------------------------------------- helpers
     def _eligible(self, tparams: TranscribeParams) -> bool:
-        return (tparams.strategy == SamplingStrategy.GREEDY
+        uniform = (tparams.strategy == SamplingStrategy.GREEDY
+                   or len(tparams.temperatures()) == 1
+                   or tparams.best_of == tparams.beam_size)
+        return (uniform
                 and tparams.grammar_rules is None
                 and tparams.logits_filter_callback is None
                 and tparams.encoder_begin_callback is None
                 and tparams.progress_callback is None
                 and tparams.abort_callback is None
-                and not tparams.cross_kv_int8
                 and not tparams.detect_language)
 
     def _clip_decoder(self, tparams: TranscribeParams, B: int, f_cap: int,
@@ -79,7 +83,11 @@ class BatchTranscriber:
             max_tokens=tparams.max_tokens,
             test_mode=(pipe.n_loaded == 0),
             fused=use_pallas(),
-            seed=tparams.seed)
+            seed=tparams.seed,
+            n_dec=tparams.n_decoders(),
+            strategy=("beam" if tparams.strategy
+                      == SamplingStrategy.BEAM_SEARCH else "greedy"),
+            cross_int8=tparams.cross_kv_int8)
         fkey = (tparams.suppress_non_speech_tokens, tparams.tdrz_enable,
                 round(tparams.max_initial_ts, 6))
         key = (statics, fkey, tuple(prompt_init))
@@ -188,16 +196,20 @@ class BatchTranscriber:
 
     def transcribe_many(self, batches,
                         tparams: Optional[TranscribeParams] = None):
-        """Pipelined bulk transcription: yields per-batch segment lists.
+        """Bulk transcription: yields per-batch segment lists.
 
-        While batch k decodes ON-CHIP, batch k+1's host mel + transfers
-        ride the host->device link — the serving-loop overlap the
-        reference gets from its capture thread
+        On locally-attached accelerators, batch k+1's host mel +
+        transfers overlap batch k's on-chip decode — the serving-loop
+        overlap the reference gets from its capture thread
         (capture_stream_to_text.gd:69-120), here across utterance
-        batches.  On relay-tunneled runtimes this hides most of the mel
-        upload behind decode."""
+        batches.  On slow-link (relay-tunneled) runtimes the batches run
+        strictly serialized instead: measured on the relay, a host->
+        device put DURING program execution costs ~2.3x its idle time
+        (contention), so "overlap" there loses outright."""
         tparams = tparams or TranscribeParams()
-        if not self._eligible(tparams):
+        from ..audio.mel import MelFrontend
+        overlap = self._eligible(tparams) and not MelFrontend._host_mel()
+        if not overlap:
             for clips in batches:
                 yield self.transcribe(clips, tparams)
             return

@@ -158,8 +158,7 @@ class MultiHostBatchTranscriber(BatchTranscriber):
                         np.asarray(cd.fctx.static_suppress),
                         np.asarray(cd._init_tokens),
                         np.asarray(cd._temps_arr),
-                        np.asarray(cd._use_past_arr),
-                        np.asarray(cd._argmax_arr))
+                        np.asarray(cd._use_past_arr))
 
     def _drain_local(self, state: ClipState) -> ClipOutputs:
         fields = (state.out_tokens, state.out_p, state.out_plog,

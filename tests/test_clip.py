@@ -61,8 +61,17 @@ def test_device_path_taken(nano_ctx, rng):
     pipe = nano_ctx.pipeline
     p = gwt.TranscribeParams(best_of=1, temperature_inc=0.0)
     assert pipe._device_loop_eligible(p, p.temperatures(), "greedy")
-    p2 = gwt.TranscribeParams()  # best_of=5 ladder stays on host
-    assert not pipe._device_loop_eligible(p2, p2.temperatures(), "greedy")
+    # best_of=5 ladder now runs on device too
+    p2 = gwt.TranscribeParams()
+    assert pipe._device_loop_eligible(p2, p2.temperatures(), "greedy")
+    # mixed beam_size != best_of across rungs keeps the host path
+    p3 = gwt.TranscribeParams(strategy=gwt.SamplingStrategy.BEAM_SEARCH,
+                              beam_size=5, best_of=3)
+    assert not pipe._device_loop_eligible(p3, p3.temperatures(), "beam")
+    # grammar always keeps the host path
+    p4 = gwt.TranscribeParams(best_of=1, temperature_inc=0.0,
+                              grammar_rules="root ::= \"a\"")
+    assert not pipe._device_loop_eligible(p4, p4.temperatures(), "greedy")
 
 
 @pytest.mark.parametrize("audio_ctx", [0, 256])
@@ -221,3 +230,43 @@ def test_batch_token_timestamps(nano_ctx, rng):
     gt = [(t.t0, t.t1) for s in got for t in s.tokens]
     wt = [(t.t0, t.t1) for s in want for t in s.tokens]
     assert gt == wt
+
+
+def test_device_matches_host_beam5(nano_ctx, rng):
+    """Beam-5 (the reference's default quality config,
+    whisper.cpp:4406) in the device clip loop against the host path."""
+    clip = _clip(rng, 2.0, 220)
+    p = gwt.TranscribeParams(strategy=gwt.SamplingStrategy.BEAM_SEARCH,
+                             beam_size=5, best_of=5,
+                             temperature_inc=0.0)
+    assert nano_ctx.pipeline._device_loop_eligible(
+        p, p.temperatures(), "beam")
+    device = pipe_full_fresh(nano_ctx.pipeline, p, clip)
+    host = _run_host(nano_ctx, p, clip)
+    assert _segs_key(device) == _segs_key(host)
+
+
+def test_device_matches_host_beam_ladder(nano_ctx, rng):
+    """Beam at t=0, best_of samplers on t>0 rungs — device vs host."""
+    clip = _clip(rng, 3.0, 330)
+    p = gwt.TranscribeParams(strategy=gwt.SamplingStrategy.BEAM_SEARCH,
+                             beam_size=3, best_of=3,
+                             temperature_inc=0.4, seed=5)
+    device = pipe_full_fresh(nano_ctx.pipeline, p, clip)
+    host = _run_host(nano_ctx, p, clip)
+    assert _segs_key(device) == _segs_key(host)
+
+
+def test_batch_beam_matches_single(nano_ctx, rng):
+    """BatchTranscriber with beam-5 over 2 streams == per-clip device
+    decode."""
+    from godot_whisper_tpu.parallel.batch import BatchTranscriber
+    clips = [_clip(rng, 2.0, 220), _clip(rng, 2.0, 220)]
+    p = gwt.TranscribeParams(strategy=gwt.SamplingStrategy.BEAM_SEARCH,
+                             beam_size=3, best_of=3,
+                             temperature_inc=0.0)
+    bt = BatchTranscriber(nano_ctx)
+    batched = bt.transcribe(clips, p)
+    singles = [pipe_full_fresh(nano_ctx.pipeline, p, c) for c in clips]
+    for got, want in zip(batched, singles):
+        assert _segs_key(got) == _segs_key(want)

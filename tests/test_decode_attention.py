@@ -48,8 +48,11 @@ def test_kernel_matches_fallback(b, c, s, n_head, split):
     want = _fallback(q, k, v, lo, hi, split, n_head)
     got = decode_attention(q, k, v, lo, hi, split=split, n_head=n_head,
                            interpret=True)
+    # kernel computes q*K products in bf16 (f32 accumulate) — the same
+    # precision the production bf16 einsum path sees; the fallback here
+    # keeps f32 inputs, so tolerance is bf16-level
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-5, atol=2e-5)
+                               rtol=2e-2, atol=2e-2)
 
 
 def test_fallback_matches_oracle():
@@ -83,7 +86,7 @@ def test_cross_mode_lo_only():
     got = decode_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
                            jnp.asarray(lo), jnp.int32(0), split=c,
                            n_head=n_head, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2, atol=2e-2)
 
 
 def test_block_skip_ignores_tail_blocks():
@@ -106,3 +109,21 @@ def test_block_skip_ignores_tail_blocks():
                            split=split, n_head=n_head, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_kernel_grouped_kv():
+    """kv_group > 1: K beam rows share one K/V row — kernel == fallback."""
+    rng = np.random.default_rng(4)
+    g, kgrp, c, s, n_head = 3, 5, 512, 384, 6
+    b = g * kgrp
+    q = jnp.asarray(rng.standard_normal((b, s)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((g, c, s)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((g, c, s)).astype(np.float32))
+    lo = jnp.asarray(rng.integers(1, 30, (b,)), jnp.int32)
+    hi = jnp.int32(270)
+    split = 232
+    want = _fallback(q, k, v, lo, hi, split, n_head, kv_group=kgrp)
+    got = decode_attention(q, k, v, lo, hi, split=split, n_head=n_head,
+                           kv_group=kgrp, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)

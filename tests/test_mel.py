@@ -134,10 +134,13 @@ def test_log_mel_host_matches_oracle(rng):
                                atol=1e-4, rtol=1e-4)
 
 
-def test_host_mel_frontend_path(rng, monkeypatch):
+def test_host_mel_frontend_path(monkeypatch):
     """MelFrontend with GWT_HOST_MEL=1 produces the same device mel (and
     shapes) as the device-compute path."""
     from godot_whisper_tpu.audio.mel import MelFrontend, mel_filterbank
+    # local rng: the session fixture's stream position depends on test
+    # order, and this comparison's tolerance is input-sensitive
+    rng = np.random.default_rng(77)
     audio = rng.standard_normal(16000 * 2).astype(np.float32) * 0.1
     filt = mel_filterbank(80)
     fe = MelFrontend(filt)
