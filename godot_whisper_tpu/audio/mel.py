@@ -141,6 +141,27 @@ def log_mel_np(samples: np.ndarray, filters: np.ndarray) -> np.ndarray:
     return ((mel + 4.0) / 4.0).astype(np.float32)
 
 
+def log_mel_frames_raw(padded: np.ndarray, filters: np.ndarray,
+                       i0: int, i1: int) -> np.ndarray:
+    """UN-normalized log10-mel of frames [i0, i1) over an already-padded
+    sample stream — the incremental-streaming unit of work: each frame
+    only depends on its own 400 samples, so only NEW frames are computed
+    per interval; the global max-8 clamp + (x+4)/4 normalization (which
+    depend on the WHOLE clip) are applied device-side at decode time
+    (runtime/streaming.py).  Returns (n_mels, i1-i0) float32 of raw
+    log10 values (zero audio gives exactly log10(1e-10))."""
+    filters = np.asarray(filters, dtype=np.float32)
+    window = hann_window()
+    n = i1 - i0
+    frames = np.lib.stride_tricks.as_strided(
+        padded[i0 * HOP_LENGTH:], shape=(n, N_FFT),
+        strides=(padded.strides[0] * HOP_LENGTH, padded.strides[0]))
+    spec = np.fft.rfft(frames * window, n=N_FFT, axis=1)
+    power = np.abs(spec) ** 2
+    return np.log10(np.maximum(power @ filters.T, 1e-10)).T.astype(
+        np.float32)
+
+
 def log_mel_host(samples: np.ndarray, filters: np.ndarray,
                  n_frames: Optional[int] = None) -> np.ndarray:
     """Fast vectorized host mel (float32): same algorithm as the f64

@@ -237,6 +237,56 @@ def bench_kernels() -> None:
     emit(f"quant_matmul4 int4 ({S}x{O}, B={B})", us, S * O // 2 / us,
          "GB/s", peak_bw)
 
+    # ---- decode-step attention: the per-token hot kernel
+    from godot_whisper_tpu.ops.decode_attention import (decode_attention,
+                                                        _fallback)
+
+    def emit_dattn(tag, B, C, S, H, quant=False, grp=1):
+        q0 = jnp.asarray(rng.standard_normal((B, S)).astype(np.float32))
+        kb = jnp.asarray(rng.standard_normal(
+            (B // grp, C, S)).astype(np.float32)).astype(jnp.bfloat16)
+        vb = kb + 0.1
+        lo = jnp.full((B,), C - 36, jnp.int32)   # ~audio_ctx valid
+        nbytes = 2 * (B // grp) * C * S * (1 if quant else 2)
+        if quant:
+            from godot_whisper_tpu.ops.cross_attention import (
+                cross_attention_quant)
+            kq = jnp.clip(kb.astype(jnp.float32) * 64, -127,
+                          127).astype(jnp.int8)
+            ks = jnp.full((B, C, 128), 1 / 64, jnp.bfloat16)
+            vs = jnp.full((B, 128), 1 / 64, jnp.float32)
+
+            def step(x, kq, ks, vs):
+                o = cross_attention_quant(x, kq, ks, kq, vs, n_head=H,
+                                          t_valid=lo)
+                return x + o * 1e-30
+
+            us = _loop_time(step, q0, (kq, ks, vs), iters=500)
+        else:
+            def step(x, kb, vb):
+                o = decode_attention(x, kb, vb, lo, jnp.int32(0),
+                                     split=C, n_head=H, kv_group=grp)
+                return x + o * 1e-30
+
+            us = _loop_time(step, q0, (kb, vb), iters=500)
+        emit(tag, us, nbytes / us, "GB/s", peak_bw)
+
+        def step_e(x, kb, vb):
+            o = _fallback(x, kb, vb, lo, jnp.int32(0), C, H, kv_group=grp)
+            return x + o * 1e-30
+
+        if not quant:
+            us = _loop_time(step_e, q0, (kb, vb), iters=500)
+            emit(tag + " [einsum]", us, nbytes / us, "GB/s", peak_bw)
+
+    emit_dattn("decode_attn tiny self (B=8,C=512,S=384)", 8, 512, 384, 6)
+    emit_dattn("decode_attn large cross (B=8,C=1536,S=1280)",
+               8, 1536, 1280, 20)
+    emit_dattn("decode_attn large cross int8 (B=8)", 8, 1536, 1280, 20,
+               quant=True)
+    emit_dattn("decode_attn beam5 grouped (B=40,grp=5,C=1536,S=384)",
+               40, 1536, 384, 6, grp=5)
+
     # ---- fused filter+sample over the full vocab
     from godot_whisper_tpu.ops.filter_sample import fused_filter_sample
     B, V = 8, 51864

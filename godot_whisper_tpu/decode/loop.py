@@ -206,6 +206,20 @@ class WhisperPipeline:
         self._mel_device = None
         self._n_len_org = n_len_org or mel.shape[1]
 
+    def set_mel_device(self, mel_dev, n_len: int, n_len_org: int,
+                       samples: Optional[np.ndarray] = None) -> None:
+        """Inject an already-device-resident NORMALIZED mel buffer
+        (n_mels, F) — the incremental streaming path feeds new frames
+        only and re-normalizes on device (runtime/streaming.py), then
+        decodes via the standard device clip loop."""
+        self._mel_device = mel_dev
+        self._mel_n_len = int(n_len)
+        self._n_len_org = int(n_len_org)
+        self._mel_data = None
+        self._samples = (np.asarray(samples, dtype=np.float32)
+                         if samples is not None else None)
+        self._energy = None
+
     # ------------------------------------------------------------------ full
     def full(self, tparams: TranscribeParams,
              samples: Optional[np.ndarray]) -> List[Segment]:

@@ -77,6 +77,15 @@ _H_PAD = 128      # head axis padded to one lane tile
 _BLOCK_BYTES = 3 << 19  # ~1.5 MB per K/V block target
 
 
+def s_below_kernel_cutoff(s: int) -> bool:
+    """Model widths where the einsum decode-attention beats the kernel
+    (tiny/base/small; see KERNELS_r03.json).  GWT_FORCE_DECODE_KERNEL=1
+    overrides for measurement."""
+    if os.environ.get("GWT_FORCE_DECODE_KERNEL") == "1":
+        return False
+    return s < 1024
+
+
 def _pick_bt(b: int, s: int, itemsize: int) -> int:
     """Largest divisor of B keeping a (BT, BLOCK_C, S) block ~1.5 MB."""
     cap = max(_BLOCK_BYTES // (_BLOCK_C * s * itemsize), 1)
@@ -316,6 +325,15 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     Returns (B, S) float32.
     """
     if not (use_pallas() or interpret):
+        return _fallback(q, k, v, lo, hi, split, n_head,
+                         kv_group=kv_group)
+    # Measured dispatch rule (KERNELS_r03.json): the Pallas kernel beats
+    # the XLA einsum only once per-row K/V no longer fits on-chip caches
+    # — large-model widths (S >= 1024: large cross 724 GB/s and 1.5x the
+    # einsum in-step) — while for tiny/base/small widths the einsum path
+    # equals or wins (tiny self standalone 4.7 us vs 11.5).  interpret
+    # mode always exercises the kernel (tests).
+    if s_below_kernel_cutoff(q.shape[1]) and not interpret:
         return _fallback(q, k, v, lo, hi, split, n_head,
                          kv_group=kv_group)
     interpret = interpret or os.environ.get("GWT_PALLAS_INTERPRET") == "1"

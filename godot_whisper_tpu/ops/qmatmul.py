@@ -162,7 +162,7 @@ def _q4mm_kernel(x_ref, w_ref, s_ref, o_ref):
     p = lax.dot_general(x, w.astype(x.dtype),
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
-    p = p * s_ref[...]                                      # (1, BO) bcast
+    p = p * s_ref[0]                                        # (1, BO) bcast
 
     @pl.when(g == 0)
     def _init():
@@ -190,7 +190,10 @@ def _q4mm_2d(x: jax.Array, q: jax.Array, s: jax.Array, *, group: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((group // 2, BO), lambda i, j, g: (g, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BO), lambda i, j, g: (g, j),
+            # scales ride with a singleton middle axis: a (1, BO) block
+            # over an (n_groups, O) array violates Mosaic's min-tile
+            # rule; (1, 1, BO) blocks equal the trailing dims exactly
+            pl.BlockSpec((1, 1, BO), lambda i, j, g: (g, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BB, BO), lambda i, j, g: (i, j),
@@ -201,7 +204,7 @@ def _q4mm_2d(x: jax.Array, q: jax.Array, s: jax.Array, *, group: int,
             bytes_accessed=B * S * 2 + S * O // 2 + n_g * O * 4 + B * O * 4,
             transcendentals=0),
         interpret=interpret,
-    )(x, q, s)
+    )(x, q, s[:, None])
 
 
 def quant_matmul4(x: jax.Array, qt: Quant4Tensor, *,

@@ -33,8 +33,104 @@ import numpy as np
 from ..audio.resample import Interpolator, mixdown, resample
 from ..audio.vad import vad_simple
 from ..decode.params import TranscribeParams
-from ..models.config import SAMPLE_RATE
+from ..models.config import HOP_LENGTH, N_FFT, SAMPLE_RATE
 from .settings import get_setting
+
+
+class IncrementalMel:
+    """Device-resident rolling mel for streaming: per interval only the
+    NEW audio's frames are computed (host) and shipped — per-interval
+    mel work is O(delta), not O(sentence).
+
+    The reference recomputes the full mel of the accumulated buffer
+    every interval (capture_stream_to_text.gd:86 -> whisper.cpp:2793);
+    that is exact but O(sentence) per tick and, on relay-attached TPUs,
+    re-uploads the whole buffer.  Here the buffer holds RAW log10-mel
+    (each frame depends only on its own 400 samples); the global max-8
+    clamp + (x+4)/4 normalization — which depend on the whole clip —
+    are applied in ONE jitted device op at decode time, so the result
+    is numerically identical to the one-shot mel (tests assert this).
+
+    Boundary handling: a sample influences ceil(400/160) = 3 frames, so
+    the last up-to-3 frames (computed against the implicit zero tail)
+    are recomputed on the next feed.  Unfilled frames hold
+    log10(1e-10) — exactly the value zero-padding audio produces.
+    """
+
+    _FLOOR = -10.0  # log10(1e-10)
+
+    def __init__(self, pipe, cap_frames: Optional[int] = None):
+        import jax
+        import jax.numpy as jnp
+        from ..models.config import CHUNK_SECONDS
+        self.pipe = pipe
+        chunk = CHUNK_SECONDS * SAMPLE_RATE
+        cap = (cap_frames if cap_frames is not None
+               else (2 * chunk - N_FFT) // HOP_LENGTH + 1)
+        self.cap = cap
+        n_mels = pipe.config.n_mels
+        self._jnp = jnp
+
+        def _feed(buf, frames, off):
+            return jax.lax.dynamic_update_slice(buf, frames, (0, off))
+
+        def _normalize(buf, n_real):
+            valid = jnp.arange(buf.shape[1])[None, :] < n_real
+            mmax = jnp.max(jnp.where(valid, buf, self._FLOOR)) - 8.0
+            return (jnp.maximum(buf, mmax) + 4.0) / 4.0
+
+        self._feed_jit = jax.jit(_feed, donate_argnums=(0,))
+        self._norm_jit = jax.jit(_normalize)
+        self._empty = lambda: jnp.full((n_mels, cap), self._FLOOR,
+                                       jnp.float32)
+        self.reset()
+
+    def reset(self, keep_samples: Optional[np.ndarray] = None) -> None:
+        self.buf = self._empty()
+        self._padded = np.zeros(0, np.float32)  # reflect-head + samples
+        self.n_samples = 0
+        self.n_frames_final = 0  # frames that can never change again
+        if keep_samples is not None and len(keep_samples):
+            self.feed(keep_samples)
+
+    def feed(self, new_samples: np.ndarray) -> int:
+        """Append audio; compute + upload only the affected frames.
+        Returns the number of frames written this call."""
+        from ..audio.mel import log_mel_frames_raw, pad_audio
+        new_samples = np.asarray(new_samples, dtype=np.float32)
+        if self.n_samples == 0:
+            # materialize the reflect-200 head once (whisper.cpp:2814)
+            self._padded = pad_audio(new_samples)[:200 + len(new_samples)]
+        else:
+            self._padded = np.concatenate([self._padded, new_samples])
+        self.n_samples += len(new_samples)
+
+        # frames fully inside real data are final; frames that touch ANY
+        # real sample (window 400 > hop 160 => up to 3 per boundary) are
+        # computed against the implicit zero tail and recomputed on the
+        # next feed; frames beyond are pure zeros == the floor constant
+        n_pad = len(self._padded)
+        n_final = max((n_pad - N_FFT) // HOP_LENGTH + 1, 0)
+        i0 = self.n_frames_final
+        i1 = min(-(-n_pad // HOP_LENGTH), self.cap)
+        if i1 <= i0:
+            return 0
+        tail_pad = np.concatenate(
+            [self._padded, np.zeros(N_FFT, np.float32)])
+        frames = log_mel_frames_raw(tail_pad, self.pipe.mel.filters,
+                                    i0, i1)
+        self.buf = self._feed_jit(self.buf, self._jnp.asarray(frames),
+                                  i0)
+        self.n_frames_final = min(n_final, self.cap)
+        return i1 - i0
+
+    def normalized(self):
+        """(normalized device mel, n_len, n_len_org) for the decoder."""
+        from ..audio.mel import frame_counts
+        n_len, n_len_org = frame_counts(self.n_samples)
+        return (self._norm_jit(self.buf,
+                               self._jnp.int32(self.n_frames_final)),
+                min(n_len, self.cap), min(n_len_org, self.cap))
 
 
 def remove_special_characters(message: str) -> str:
@@ -77,6 +173,12 @@ class StreamingConfig:
     # recomputes ggml graphs each call, which is free there but a fresh
     # XLA compile here; rounding up only ever ADDS context).  0 = exact.
     audio_ctx_bucket: int = 128
+    # incremental: keep a device-resident rolling mel and compute/upload
+    # only NEW frames per interval (IncrementalMel) instead of re-melling
+    # the whole accumulated buffer like the reference does; decode output
+    # is identical.  Auto-disabled when source-rate resampling is needed
+    # (chunked sinc resampling would change boundary samples).
+    incremental_mel: bool = True
 
 
 class StreamingTranscriber:
@@ -100,6 +202,8 @@ class StreamingTranscriber:
         self._recording = False
         self.partial_text = ""
         self.finalized_texts: List[str] = []
+        self._inc: Optional[IncrementalMel] = None
+        self._inc_fed = 0  # buffer samples already fed to IncrementalMel
 
     # ------------------------------------------------------------------- feed
     def push_audio(self, frames: np.ndarray) -> None:
@@ -158,7 +262,24 @@ class StreamingTranscriber:
             initial_prompt=cfg.initial_prompt or None,
             print_progress=False,
         )
-        segments = self.ctx.full(tparams, resampled)
+        use_inc = (cfg.incremental_mel
+                   and self.source_rate == SAMPLE_RATE)
+        if use_inc:
+            # feed ONLY samples not yet seen; decode from the rolling
+            # device mel (O(delta) mel work per interval)
+            if self._inc is None:
+                self._inc = IncrementalMel(self.ctx.pipeline)
+            if self._inc_fed > len(buf):        # buffer was trimmed
+                self._inc.reset(resampled)
+            elif len(buf) > self._inc_fed:
+                self._inc.feed(buf[self._inc_fed:])
+            self._inc_fed = len(buf)
+            mel_norm, n_len, n_len_org = self._inc.normalized()
+            self.ctx.pipeline.set_mel_device(mel_norm, n_len, n_len_org,
+                                             samples=resampled)
+            segments = self.ctx.full(tparams, None)
+        else:
+            segments = self.ctx.full(tparams, resampled)
         n_tokens = sum(len(s.tokens) for s in segments)
         full_text = "".join(s.text for s in segments)
 

@@ -92,3 +92,48 @@ def test_streaming_finalize_trims_buffer(nano_ctx):
     assert report is not None
     if not report["partial"]:
         assert len(st._buffer) <= int(0.2 * 16000) + 1
+
+
+def test_incremental_mel_matches_oneshot(nano_ctx):
+    """IncrementalMel fed in chunks == the one-shot mel of the whole
+    clip, and each feed's work is O(delta) frames."""
+    import jax.numpy as jnp
+    from godot_whisper_tpu.audio.mel import frame_counts, log_mel_host
+    from godot_whisper_tpu.runtime.streaming import IncrementalMel
+
+    rng = np.random.default_rng(11)
+    pipe = nano_ctx.pipeline
+    audio = (0.2 * rng.standard_normal(16000 * 3)).astype(np.float32)
+
+    inc = IncrementalMel(pipe)
+    writes = []
+    for i in range(0, len(audio), 4800):           # 0.3 s chunks
+        writes.append(inc.feed(audio[i:i + 4800]))
+    mel_inc, n_len, n_len_org = inc.normalized()
+
+    # per-feed frame work is bounded by delta frames + 3-frame boundary
+    assert max(writes[1:]) <= 4800 // 160 + 4
+    assert n_len_org == frame_counts(len(audio))[1]
+
+    want = log_mel_host(audio, pipe.mel.filters, n_frames=inc.cap)
+    got = np.asarray(mel_inc)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_streaming_incremental_matches_full(nano_ctx, rng):
+    """The incremental-mel scheduler path produces the same transcript
+    as the re-mel-everything path."""
+    audio = (0.2 * rng.standard_normal(16000 * 2)).astype(np.float32)
+
+    outs = {}
+    for inc in (False, True):
+        st = StreamingTranscriber(
+            nano_ctx,
+            StreamingConfig(minimum_sentence_time=0.5,
+                            incremental_mel=inc),
+            source_rate=16000)
+        for i in range(0, len(audio), 8000):
+            st.push_audio(audio[i:i + 8000])
+            st.process_once()
+        outs[inc] = st.text()
+    assert outs[True] == outs[False]
