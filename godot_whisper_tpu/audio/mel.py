@@ -375,12 +375,15 @@ class MelFrontend:
                                   _windowed_dft_basis(), self._filters_t)
         return mel, min(n_len, mel.shape[1])
 
-    def device_batch(self, clips):
+    def device_batch(self, clips, host_mels=None):
         """Batched device mel for a list of clips.
 
         Returns (jnp (B, n_mels, frames_bucket), [n_len per clip]).  All
         clips are padded into the bucket of the LONGEST clip — use for
         similarly-sized utterances (the batch transcriber's case).
+        ``host_mels``: precomputed ``precompute_host_mels`` output (the
+        pipelined serving loop computes batch k+1's mel on a worker
+        thread while batch k decodes).
         """
         n_lens = [frame_counts(len(c))[0] for c in clips]
         padded = [pad_audio(c) for c in clips]
@@ -389,9 +392,11 @@ class MelFrontend:
             n_frames = (bucket - N_FFT) // HOP_LENGTH + 1
             # per-clip async upload: the f16 transfer of clip i rides the
             # (relay) wire while the host FFTs clip i+1
-            parts = [jax.device_put(log_mel_host(
-                c, self.filters, n_frames=n_frames).astype(np.float16))
-                for c in clips]
+            if host_mels is None:
+                host_mels = [log_mel_host(
+                    c, self.filters, n_frames=n_frames).astype(np.float16)
+                    for c in clips]
+            parts = [jax.device_put(m) for m in host_mels]
             mel = _upcast_mel(jnp.stack(parts))
             n_lens = [min(n, mel.shape[2]) for n in n_lens]
             return mel, n_lens
@@ -408,6 +413,18 @@ class MelFrontend:
                                           self._filters_t)
         n_lens = [min(n, mel.shape[2]) for n in n_lens]
         return mel, n_lens
+
+    def precompute_host_mels(self, clips):
+        """Host half of ``device_batch`` for prefetch threads: f16 mel
+        frames ready to ship.  Only meaningful in host-mel mode."""
+        if not self._host_mel():
+            return None
+        padded_len = [len(c) + _CHUNK + 2 * _PAD for c in clips]
+        bucket = max(-(-p // _CHUNK) * _CHUNK for p in padded_len)
+        n_frames = (bucket - N_FFT) // HOP_LENGTH + 1
+        return [log_mel_host(c, self.filters,
+                             n_frames=n_frames).astype(np.float16)
+                for c in clips]
 
     def __call__(self, samples: np.ndarray) -> np.ndarray:
         """Whole-utterance mel, shape (n_mels, n_len). Host in, host out."""

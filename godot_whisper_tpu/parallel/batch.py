@@ -119,7 +119,7 @@ class BatchTranscriber:
 
     # ------------------------------------------------------------ transcribe
     def _prepare(self, clips: List[np.ndarray],
-                 tparams: TranscribeParams):
+                 tparams: TranscribeParams, host_mels=None):
         """Async half: mel + state build + FIRST decode dispatch.
 
         Nothing here blocks on the device — the mel transfers and the
@@ -127,7 +127,8 @@ class BatchTranscriber:
         while batch k still decodes (``transcribe_many``)."""
         pipe: WhisperPipeline = self.ctx.pipeline
         prompt_init, no_timestamps = self._prompt_init(tparams)
-        mel_all, n_lens = pipe.mel.device_batch(clips)
+        mel_all, n_lens = pipe.mel.device_batch(clips,
+                                                host_mels=host_mels)
 
         seeks, seek_ends, past_init = [], [], []
         init_prompt_tokens: List[int] = []
@@ -210,8 +211,29 @@ class BatchTranscriber:
         from ..audio.mel import MelFrontend
         overlap = self._eligible(tparams) and not MelFrontend._host_mel()
         if not overlap:
-            for clips in batches:
-                yield self.transcribe(clips, tparams)
+            # slow-link serialized path: the only safe concurrency is the
+            # next batch's HOST mel FFT (pure CPU, a worker thread; numpy
+            # drops the GIL) riding under the current batch's decode —
+            # transfers stay strictly between decodes
+            import concurrent.futures as cf
+            pipe: WhisperPipeline = self.ctx.pipeline
+            eligible = self._eligible(tparams)
+            with cf.ThreadPoolExecutor(max_workers=1) as pool:
+                it = iter(batches)
+                cur = next(it, None)
+                fut = (pool.submit(pipe.mel.precompute_host_mels, cur)
+                       if cur is not None and eligible else None)
+                while cur is not None:
+                    mels = fut.result() if fut is not None else None
+                    nxt = next(it, None)
+                    fut = (pool.submit(pipe.mel.precompute_host_mels, nxt)
+                           if nxt is not None and eligible else None)
+                    if eligible:
+                        yield self._finish(
+                            self._prepare(cur, tparams, host_mels=mels))
+                    else:
+                        yield self.transcribe(cur, tparams)
+                    cur = nxt
             return
         pending = None
         for clips in batches:

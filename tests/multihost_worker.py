@@ -3,7 +3,11 @@
 One process of a 2-process x 4-virtual-CPU-device multi-host run
 (gloo collectives).  Invoked as:
 
-    python multihost_worker.py <pid> <nproc> <port> <out.json>
+    python multihost_worker.py <pid> <nproc> <port> <out.json> [counts]
+
+``counts`` (optional, comma list, default "2,2"): per-process clip
+counts — unequal/zero counts exercise dist.py's padding + ragged-f_cap
+allgather paths.
 
 Builds the deterministic nano model + clips (shared with the test via
 build_nano / make_clip), transcribes this process's local clips through
@@ -50,6 +54,8 @@ def make_clip(global_idx: int):
 def main() -> None:
     pid, nproc, port, out_path = (int(sys.argv[1]), int(sys.argv[2]),
                                   sys.argv[3], sys.argv[4])
+    counts = ([int(x) for x in sys.argv[5].split(",")]
+              if len(sys.argv) > 5 else [CLIPS_PER_PROC] * nproc)
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     import jax
@@ -63,8 +69,8 @@ def main() -> None:
 
     import godot_whisper_tpu as gwt
     ctx = build_nano()
-    clips = [make_clip(pid * CLIPS_PER_PROC + i)
-             for i in range(CLIPS_PER_PROC)]
+    base = sum(counts[:pid])
+    clips = [make_clip(base + i) for i in range(counts[pid])]
     mesh = dist.stream_mesh(tp=1)
     mht = dist.MultiHostBatchTranscriber(ctx, mesh)
     segs = mht.transcribe(
