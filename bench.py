@@ -78,27 +78,32 @@ def _single_rtf(ctx, tp, audio, n=3) -> float:
 
 
 def _batch_throughput(ctx, tp, nb: int, audio_seconds: float,
-                      n_batches: int = 3) -> float:
+                      n_batches: int = 3, reps: int = 2) -> float:
     """Steady-state pipelined throughput: clock starts after the first
-    batch lands (its mel upload cannot overlap anything)."""
+    batch lands (its mel upload cannot overlap anything).  Best of
+    ``reps`` passes — the relay link's bandwidth swings run to run."""
     from godot_whisper_tpu.parallel.batch import BatchTranscriber
     bt = BatchTranscriber(ctx)
     clips = [_make_audio(audio_seconds, seed=i) for i in range(nb)]
     bt.transcribe(clips, tp)  # warmup/compile
-    t_mark = [None]
 
-    def batches():
-        for _ in range(n_batches + 1):
-            yield clips
+    def one_pass():
+        t_mark = [None]
 
-    n_done = 0
-    for _ in bt.transcribe_many(batches(), tp):
-        if t_mark[0] is None:
-            t_mark[0] = time.perf_counter()  # after first batch
-        else:
-            n_done += 1
-    dt = time.perf_counter() - t_mark[0]
-    return n_done * nb * audio_seconds / dt
+        def batches():
+            for _ in range(n_batches + 1):
+                yield clips
+
+        n_done = 0
+        for _ in bt.transcribe_many(batches(), tp):
+            if t_mark[0] is None:
+                t_mark[0] = time.perf_counter()  # after first batch
+            else:
+                n_done += 1
+        dt = time.perf_counter() - t_mark[0]
+        return n_done * nb * audio_seconds / dt
+
+    return max(one_pass() for _ in range(reps))
 
 
 def main() -> None:

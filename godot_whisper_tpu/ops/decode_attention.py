@@ -78,12 +78,15 @@ _BLOCK_BYTES = 3 << 19  # ~1.5 MB per K/V block target
 
 
 def s_below_kernel_cutoff(s: int) -> bool:
-    """Model widths where the einsum decode-attention beats the kernel
-    (tiny/base/small; see KERNELS_r03.json).  GWT_FORCE_DECODE_KERNEL=1
-    overrides for measurement."""
-    if os.environ.get("GWT_FORCE_DECODE_KERNEL") == "1":
-        return False
-    return s < 1024
+    """Dispatch override: GWT_DECODE_ATTN=einsum forces the einsum path.
+
+    STANDALONE microbenches (KERNELS_r03.json) show the einsum matching
+    or beating the kernel at tiny widths — but inside the full
+    device-resident clip loop the einsum formulation regressed batched
+    throughput ~2x (the round-2 nesting penalty: XLA restructures the
+    attention einsums inside the nested while loops), so the kernel is
+    the default everywhere on TPU."""
+    return os.environ.get("GWT_DECODE_ATTN") == "einsum"
 
 
 def _pick_bt(b: int, s: int, itemsize: int) -> int:
