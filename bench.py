@@ -137,6 +137,19 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             out[f"batch{nb}_throughput_audio_s_per_s"] = f"error: {e}"
 
+    # int8 decoder weights (in-VMEM-dequant matmuls, ops/qmatmul.py):
+    # halves the dominant logits/weight HBM reads of the decode step
+    if os.environ.get("BENCH_INT8", "1") == "1" and not quantize:
+        try:
+            qctx = _load_ctx(model, "int8")
+            out["int8_single_rtf"] = round(
+                _single_rtf(qctx, tp, audio, n=2), 2)
+            out["int8_batch8_throughput_audio_s_per_s"] = round(
+                _batch_throughput(qctx, tp, 8, audio_seconds,
+                                  n_batches=2), 1)
+        except Exception as e:  # pragma: no cover
+            out["int8_error"] = str(e)[:200]
+
     # beam-5: the reference's DEFAULT quality config (whisper.cpp:4406),
     # running in the device clip loop (grouped beam per stream)
     if os.environ.get("BENCH_BEAM", "1") == "1":

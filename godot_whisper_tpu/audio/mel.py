@@ -202,6 +202,17 @@ def _upcast_mel(m_f16: jax.Array) -> jax.Array:
     return m_f16.astype(jnp.float32)
 
 
+@jax.jit
+def _normalize_raw_mel(raw_f16: jax.Array) -> jax.Array:
+    """RAW log10-mel wire chunks -> normalized f32 device mel: the
+    whole-clip max-8 clamp + (x+4)/4 (whisper.cpp:2855-2871) as one
+    device op (raw frames are per-chunk independent; the normalization
+    is the only whole-clip dependency)."""
+    m = raw_f16.astype(jnp.float32)
+    mmax = jnp.max(m) - 8.0
+    return (jnp.maximum(m, mmax) + 4.0) / 4.0
+
+
 # ------------------------------------------------------------------- jnp path
 _SUB = 80  # gcd(N_FFT, HOP_LENGTH): framing becomes strided row slices
 
@@ -355,14 +366,25 @@ class MelFrontend:
         padded = pad_audio(samples)
         # Bucket the padded length to 30 s multiples to bound jit cache size.
         bucket = -(-len(padded) // _CHUNK) * _CHUNK
-        if os.environ.get("GWT_HOST_MEL") == "1":
-            # explicit-only for single clips: the transfer saving (mel is
-            # half the audio bytes) roughly cancels against the blocking
-            # host FFT, so the auto probe only flips the BATCH path where
-            # compute interleaves with the uploads
+        if self._host_mel():
+            # slow-link path: RAW log-mel computed host-side in ~30 s
+            # chunks with each chunk's f16 upload riding the wire while
+            # the next chunk FFTs; the clip-global max-8 clamp +
+            # normalization run as one device op at the end.  Mel is
+            # half the bytes of the audio AND compute overlaps transfer.
             n_frames = (bucket - N_FFT) // HOP_LENGTH + 1
-            m = log_mel_host(samples, self.filters, n_frames=n_frames)
-            mel = _upcast_mel(jnp.asarray(m.astype(np.float16)))
+            full_pad = np.concatenate(
+                [padded, np.zeros(bucket + N_FFT - len(padded),
+                                  np.float32)])
+            step = _CHUNK // HOP_LENGTH          # 3000 frames per chunk
+            parts = []
+            for i0 in range(0, n_frames, step):
+                i1 = min(i0 + step, n_frames)
+                raw = log_mel_frames_raw(full_pad, self.filters, i0, i1)
+                parts.append(jax.device_put(raw.astype(np.float16)))
+            mel = _normalize_raw_mel(
+                parts[0] if len(parts) == 1
+                else jnp.concatenate(parts, axis=1))
             return mel, min(n_len, mel.shape[1])
         padded = np.pad(padded, (0, bucket - len(padded)))
         if self._use_kernel():

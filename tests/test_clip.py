@@ -270,3 +270,28 @@ def test_batch_beam_matches_single(nano_ctx, rng):
     singles = [pipe_full_fresh(nano_ctx.pipeline, p, c) for c in clips]
     for got, want in zip(batched, singles):
         assert _segs_key(got) == _segs_key(want)
+
+
+def test_device_matches_host_cross_int8(nano_ctx, rng):
+    """int8 cross-KV (TranscribeParams.cross_kv_int8) through the device
+    clip loop vs the host path — same quantization, same tokens."""
+    clip = _clip(rng, 2.0, 220)
+    p = gwt.TranscribeParams(best_of=1, temperature_inc=0.0,
+                             cross_kv_int8=True)
+    assert nano_ctx.pipeline._device_loop_eligible(
+        p, p.temperatures(), "greedy")
+    device = pipe_full_fresh(nano_ctx.pipeline, p, clip)
+    host = _run_host(nano_ctx, p, clip)
+    assert _segs_key(device) == _segs_key(host)
+
+
+def test_device_beam_cross_int8(nano_ctx, rng):
+    """Beam rows + int8 cross-KV (the grouped-repeat quant path) decodes
+    and matches the host beam path."""
+    clip = _clip(rng, 2.0, 330)
+    p = gwt.TranscribeParams(strategy=gwt.SamplingStrategy.BEAM_SEARCH,
+                             beam_size=3, best_of=3, temperature_inc=0.0,
+                             cross_kv_int8=True)
+    device = pipe_full_fresh(nano_ctx.pipeline, p, clip)
+    host = _run_host(nano_ctx, p, clip)
+    assert _segs_key(device) == _segs_key(host)
