@@ -88,8 +88,11 @@ class WhisperContext:
         if quantize in ("int4", "q4", "q4_0"):
             from .models.quant import quantize_decoder_int4
             return quantize_decoder_int4(params)
+        if quantize in ("int8_embed", "q8_embed"):
+            from .models.quant import quantize_embed_int8
+            return quantize_embed_int8(params)
         raise ValueError(f"unknown quantize mode {quantize!r} "
-                         "(supported: 'int8', 'int4')")
+                         "(supported: 'int8', 'int4', 'int8_embed')")
 
     @classmethod
     def _from_raw(cls, raw, compute_dtype=None,

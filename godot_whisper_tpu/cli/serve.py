@@ -47,9 +47,87 @@ def _parse_multipart(body: bytes, content_type: str):
 
 
 class TranscriptionServer:
-    def __init__(self, ctx):
+    """``batch_window_ms > 0`` enables DYNAMIC MICRO-BATCHING — the
+    TPU-native serving mode the reference's one-thread server cannot
+    express: concurrent requests arriving within the window that share
+    decode parameters are stacked on the stream axis and decoded as ONE
+    batched device clip-loop dispatch (parallel/batch.py), multiplying
+    served audio-s/s at the same per-request latency budget."""
+
+    def __init__(self, ctx, batch_window_ms: float = 0.0,
+                 max_batch: int = 8):
         self.ctx = ctx
         self.lock = threading.Lock()  # serialize device access
+        self.batch_window = batch_window_ms / 1e3
+        self.max_batch = max_batch
+        self._bt = None
+        self._queue = None
+        if self.batch_window > 0:
+            import queue as _q
+            self._queue = _q.Queue()
+            self._carry = []
+            t = threading.Thread(target=self._dispatch_loop, daemon=True)
+            t.start()
+
+    # ------------------------------------------------------- micro-batching
+    @staticmethod
+    def _batch_key(tp):
+        return (tp.strategy, tp.language, tp.translate, tp.best_of,
+                tp.beam_size, tp.temperature, tp.initial_prompt)
+
+    def _transcribe(self, samples, tparams):
+        if self._queue is None:
+            with self.lock:
+                return self.ctx.full(tparams, samples)
+        req = {"samples": samples, "tp": tparams,
+               "ev": threading.Event(), "out": None, "err": None}
+        self._queue.put(req)
+        req["ev"].wait()
+        if req["err"] is not None:
+            raise req["err"]
+        return req["out"]
+
+    def _dispatch_loop(self):
+        import time as _time
+        from godot_whisper_tpu.parallel.batch import BatchTranscriber
+        while True:
+            group = [self._carry.pop(0) if self._carry
+                     else self._queue.get()]
+            key = self._batch_key(group[0]["tp"])
+            deadline = _time.perf_counter() + self.batch_window
+            while len(group) < self.max_batch:
+                rem = deadline - _time.perf_counter()
+                nxt = None
+                for i, c in enumerate(self._carry):
+                    if self._batch_key(c["tp"]) == key:
+                        nxt = self._carry.pop(i)
+                        break
+                if nxt is None:
+                    if rem <= 0:
+                        break
+                    try:
+                        cand = self._queue.get(timeout=rem)
+                    except Exception:
+                        break
+                    if self._batch_key(cand["tp"]) == key:
+                        nxt = cand
+                    else:
+                        self._carry.append(cand)
+                        continue
+                group.append(nxt)
+            try:
+                with self.lock:
+                    if self._bt is None or self._bt.ctx is not self.ctx:
+                        self._bt = BatchTranscriber(self.ctx)
+                    results = self._bt.transcribe(
+                        [g["samples"] for g in group], group[0]["tp"])
+                for g, segs in zip(group, results):
+                    g["out"] = segs
+            except Exception as e:  # pragma: no cover
+                for g in group:
+                    g["err"] = e
+            for g in group:
+                g["ev"].set()
 
     def handle_inference(self, audio_bytes: bytes, params: dict) -> tuple:
         import numpy as np
@@ -81,8 +159,7 @@ class TranscriptionServer:
             initial_prompt=params.get("prompt") or None,
             print_progress=False,
         )
-        with self.lock:
-            segments = self.ctx.full(tparams, samples)
+        segments = self._transcribe(samples, tparams)
 
         fmt = params.get("response_format", "json")
         if fmt == "text":
@@ -165,6 +242,11 @@ def main(argv=None) -> int:
     p.add_argument("--synthetic", default=None, metavar="NAME")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--batch-window-ms", type=float, default=0.0,
+                   help="micro-batch concurrent requests arriving within "
+                        "this window into one batched device dispatch "
+                        "(0 = off)")
+    p.add_argument("--max-batch", type=int, default=8)
     args = p.parse_args(argv)
 
     import godot_whisper_tpu as gwt
@@ -176,7 +258,9 @@ def main(argv=None) -> int:
         print("error: need -m or --synthetic", file=sys.stderr)
         return 1
 
-    server = TranscriptionServer(ctx)
+    server = TranscriptionServer(ctx,
+                                 batch_window_ms=args.batch_window_ms,
+                                 max_batch=args.max_batch)
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(server))
     print(f"listening on http://{args.host}:{args.port}")

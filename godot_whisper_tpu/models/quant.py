@@ -123,3 +123,21 @@ def quant_mode(params: Params) -> Dict[str, str]:
             if k in _BLOCK_WEIGHT_KEYS:
                 out[f"blocks.{grp}.{k}"] = kind(v)
     return out
+
+
+def quantize_embed_int8(params: Params) -> Params:
+    """int8-quantize ONLY the token embedding — the (V, S) buffer whose
+    logits-contraction read dominates the per-token step at small batch
+    (~40 MB bf16 for the 51864-row vocab, ~120 us of a ~170 us tiny.en
+    B=1 step).  The per-row scales serve both the embedding gather and
+    the logits matmul; every other decoder weight stays bf16 (full int8
+    measured SLOWER at B=1: the small projection matmuls lose more to
+    the int8 kernel's overhead than their halved reads save).
+    Idempotent."""
+    dec = params["decoder"]
+    te = dec["token_embed"]
+    if isinstance(te, QuantTensor):
+        return params
+    new_dec = dict(dec)
+    new_dec["token_embed"] = quantize_tensor(te, reduce_axis=1)
+    return {"encoder": params["encoder"], "decoder": new_dec}

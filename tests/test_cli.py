@@ -127,3 +127,59 @@ def test_reference_stub_sizes(name):
     expect = {"base": 6, "small.en": 12, "medium": 24, "large": 32}[name]
     assert raw.config.n_audio_layer == expect
     assert raw.n_loaded == 0
+
+
+def test_server_micro_batching(pico_bin, tmp_path):
+    """Concurrent requests within the batch window decode as one batched
+    dispatch and every caller gets its own result."""
+    from http.server import ThreadingHTTPServer
+
+    from godot_whisper_tpu.audio.wav import write_wav
+    from godot_whisper_tpu.cli.serve import (TranscriptionServer,
+                                             make_handler)
+    from godot_whisper_tpu.parallel import batch as batch_mod
+
+    ctx = gwt.WhisperContext.from_file(pico_bin)
+    server = TranscriptionServer(ctx, batch_window_ms=300, max_batch=4)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    calls = []
+    orig = batch_mod.BatchTranscriber.transcribe
+
+    def spy(self, clips, tparams=None):
+        calls.append(len(clips))
+        return orig(self, clips, tparams)
+
+    batch_mod.BatchTranscriber.transcribe = spy
+    try:
+        wavs = []
+        for i in range(3):
+            wav = str(tmp_path / f"req{i}.wav")
+            t = np.arange(16000) / 16000.0
+            write_wav(wav, (0.3 * np.sin(2 * np.pi * (300 + 100 * i) * t)
+                            ).astype(np.float32))
+            wavs.append(open(wav, "rb").read())
+
+        results = [None] * 3
+
+        def post(i):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/inference?temperature=0",
+                data=wavs[i], method="POST")
+            with urllib.request.urlopen(req) as r:
+                results[i] = json.loads(r.read())
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(120)
+        assert all(r is not None and "text" in r for r in results)
+        # at least one dispatch carried multiple requests
+        assert max(calls) >= 2, calls
+    finally:
+        batch_mod.BatchTranscriber.transcribe = orig
+        httpd.shutdown()

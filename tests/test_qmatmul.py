@@ -291,3 +291,17 @@ def test_int4_sharding(cfg):
     wo = sp["decoder"]["blocks"]["attn"]["wo"]
     assert wo.q.sharding.spec == P(None, "tp", None)
     assert wo.s.sharding.spec == P(None, None, None)
+
+
+def test_quantize_embed_only_mode():
+    """int8_embed quantizes ONLY the token embedding (the logits-read
+    hot spot); projections stay bf16."""
+    ctx = gwt.WhisperContext.synthetic("tiny.en", seed=0,
+                                       quantize="int8_embed")
+    dec = ctx.pipeline.params["decoder"]
+    assert isinstance(dec["token_embed"], QuantTensor)
+    assert not isinstance(dec["blocks"]["attn"]["wq"], QuantTensor)
+    samples = np.zeros(16000, dtype=np.float32)
+    tp = gwt.TranscribeParams(best_of=1, temperature_inc=0.0,
+                              print_progress=False, audio_ctx=128)
+    ctx.full(tp, samples)  # must run end-to-end
