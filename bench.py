@@ -137,6 +137,19 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             out[f"batch{nb}_throughput_audio_s_per_s"] = f"error: {e}"
 
+    # int8 mel wire (GWT_MEL_WIRE=int8, opt-in): halves the dominant
+    # host->device transfer of the batched serving path on slow links
+    if os.environ.get("BENCH_MEL_INT8", "1") == "1":
+        try:
+            os.environ["GWT_MEL_WIRE"] = "int8"
+            nb = max(batch_sizes) if batch_sizes else 32
+            out[f"int8_mel_batch{nb}_throughput_audio_s_per_s"] = round(
+                _batch_throughput(ctx, tp, nb, audio_seconds), 1)
+        except Exception as e:  # pragma: no cover
+            out["int8_mel_error"] = str(e)[:200]
+        finally:
+            os.environ.pop("GWT_MEL_WIRE", None)
+
     # int8 decoder weights (in-VMEM-dequant matmuls, ops/qmatmul.py):
     # halves the dominant logits/weight HBM reads of the decode step
     if os.environ.get("BENCH_INT8", "1") == "1" and not quantize:

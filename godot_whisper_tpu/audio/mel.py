@@ -202,6 +202,29 @@ def _upcast_mel(m_f16: jax.Array) -> jax.Array:
     return m_f16.astype(jnp.float32)
 
 
+def _mel_wire_int8() -> bool:
+    """Opt-in int8 wire format for host-computed mel (GWT_MEL_WIRE=int8):
+    normalized mel spans EXACTLY 2.0 units (the max-8 clamp maps to
+    [(mmax-4)/4, (mmax+4)/4]), so a per-clip affine uint8 encoding has
+    2/255 = 0.008 granularity — half the f16 bytes again.  Off by
+    default: without real-weight WER evidence the f16 wire (which is
+    precision-equivalent to the reference's f16 storage) stays the
+    default."""
+    return os.environ.get("GWT_MEL_WIRE") == "int8"
+
+
+def _encode_mel_u8(m_norm: np.ndarray):
+    """Normalized f32 mel -> (uint8, f32 offset) with scale 2/255."""
+    off = np.float32(m_norm.min())
+    q = np.clip(np.round((m_norm - off) * (255.0 / 2.0)), 0, 255)
+    return q.astype(np.uint8), off
+
+
+@functools.partial(jax.jit, static_argnums=())
+def _decode_mel_u8(q: jax.Array, off: jax.Array) -> jax.Array:
+    return q.astype(jnp.float32) * jnp.float32(2.0 / 255.0) + off
+
+
 @jax.jit
 def _normalize_raw_mel(raw_f16: jax.Array) -> jax.Array:
     """RAW log10-mel wire chunks -> normalized f32 device mel: the
@@ -412,14 +435,19 @@ class MelFrontend:
         bucket = max(-(-len(p) // _CHUNK) * _CHUNK for p in padded)
         if self._host_mel():
             n_frames = (bucket - N_FFT) // HOP_LENGTH + 1
-            # per-clip async upload: the f16 transfer of clip i rides the
-            # (relay) wire while the host FFTs clip i+1
+            # per-clip async upload: the wire transfer of clip i rides
+            # the (relay) link while the host FFTs clip i+1
             if host_mels is None:
-                host_mels = [log_mel_host(
-                    c, self.filters, n_frames=n_frames).astype(np.float16)
-                    for c in clips]
-            parts = [jax.device_put(m) for m in host_mels]
-            mel = _upcast_mel(jnp.stack(parts))
+                host_mels = self.precompute_host_mels(
+                    clips, n_frames=n_frames)
+            if _mel_wire_int8():
+                parts = [_decode_mel_u8(jax.device_put(q),
+                                        jnp.float32(off))
+                         for q, off in host_mels]
+                mel = jnp.stack(parts)
+            else:
+                parts = [jax.device_put(m) for m in host_mels]
+                mel = _upcast_mel(jnp.stack(parts))
             n_lens = [min(n, mel.shape[2]) for n in n_lens]
             return mel, n_lens
         stack = np.zeros((len(clips), bucket), dtype=np.float16)
@@ -436,17 +464,21 @@ class MelFrontend:
         n_lens = [min(n, mel.shape[2]) for n in n_lens]
         return mel, n_lens
 
-    def precompute_host_mels(self, clips):
-        """Host half of ``device_batch`` for prefetch threads: f16 mel
-        frames ready to ship.  Only meaningful in host-mel mode."""
+    def precompute_host_mels(self, clips, n_frames: Optional[int] = None):
+        """Host half of ``device_batch`` for prefetch threads: mel frames
+        ready to ship (f16, or (uint8, offset) pairs under
+        GWT_MEL_WIRE=int8).  Only meaningful in host-mel mode."""
         if not self._host_mel():
             return None
-        padded_len = [len(c) + _CHUNK + 2 * _PAD for c in clips]
-        bucket = max(-(-p // _CHUNK) * _CHUNK for p in padded_len)
-        n_frames = (bucket - N_FFT) // HOP_LENGTH + 1
-        return [log_mel_host(c, self.filters,
-                             n_frames=n_frames).astype(np.float16)
+        if n_frames is None:
+            padded_len = [len(c) + _CHUNK + 2 * _PAD for c in clips]
+            bucket = max(-(-p // _CHUNK) * _CHUNK for p in padded_len)
+            n_frames = (bucket - N_FFT) // HOP_LENGTH + 1
+        mels = [log_mel_host(c, self.filters, n_frames=n_frames)
                 for c in clips]
+        if _mel_wire_int8():
+            return [_encode_mel_u8(m) for m in mels]
+        return [m.astype(np.float16) for m in mels]
 
     def __call__(self, samples: np.ndarray) -> np.ndarray:
         """Whole-utterance mel, shape (n_mels, n_len). Host in, host out."""

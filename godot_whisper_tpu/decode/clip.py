@@ -263,14 +263,31 @@ class ClipDecoder:
         return self._reset(state)
 
     def drain(self, state: ClipState) -> ClipOutputs:
-        """ONE batched device->host pull of every output buffer."""
+        """ONE batched device->host pull of every output buffer.
+
+        The four probability buffers cross the wire as f16 (they are
+        per-token display/scoring metadata — f16 carries their full
+        useful precision at half the transfer; token ids/lengths stay
+        exact)."""
+        packed = self._pack_drain(
+            state.out_p, state.out_plog, state.out_pt, state.out_ptsum)
         vals = jax.device_get((
-            state.out_tokens, state.out_p, state.out_plog, state.out_pt,
-            state.out_ptsum, state.out_tid, state.out_rl, state.out_seek,
+            state.out_tokens, *packed,
+            state.out_tid, state.out_rl, state.out_seek,
             state.out_delta, state.out_emitted, state.out_temp,
             state.out_steps, state.w,
             state.seek, state.done, state.past_buf, state.past_cnt))
+        vals = list(vals)
+        for i in range(1, 5):
+            vals[i] = vals[i].astype(np.float32)
         return ClipOutputs(*vals)
+
+    @staticmethod
+    @jax.jit
+    def _pack_drain(p, plog, pt, ptsum):
+        import jax.numpy as _jnp
+        return (p.astype(_jnp.float16), plog.astype(_jnp.float16),
+                pt.astype(_jnp.float16), ptsum.astype(_jnp.float16))
 
     # ------------------------------------------------------------------ build
     def _build(self):

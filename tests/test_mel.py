@@ -161,3 +161,22 @@ def test_host_mel_frontend_path(monkeypatch):
     np.testing.assert_allclose(np.asarray(bhost)[:, :, :bl_dev[0]],
                                np.asarray(bdev)[:, :, :bl_dev[0]],
                                atol=3e-3, rtol=3e-3)
+
+
+def test_mel_wire_int8(monkeypatch):
+    """GWT_MEL_WIRE=int8: uint8 wire mel decodes to within one
+    quantization step of the f16 path."""
+    from godot_whisper_tpu.audio.mel import MelFrontend, mel_filterbank
+    rng = np.random.default_rng(88)
+    audio = rng.standard_normal(16000 * 2).astype(np.float32) * 0.1
+    clips = [audio, audio * 0.3]
+    fe = MelFrontend(mel_filterbank(80))
+
+    MelFrontend._host_mel.cache_clear()
+    monkeypatch.setenv("GWT_HOST_MEL", "1")
+    ref, nl = fe.device_batch(clips)
+    monkeypatch.setenv("GWT_MEL_WIRE", "int8")
+    got, nl2 = fe.device_batch(clips)
+    MelFrontend._host_mel.cache_clear()
+    assert got.shape == ref.shape and nl == nl2
+    assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 2.0 / 255 + 1e-3
