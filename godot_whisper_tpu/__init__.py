@@ -232,7 +232,13 @@ class WhisperContext:
                seek: int = 0) -> np.ndarray:
         """Stage-level decode (whisper_decode, whisper.h:286-297): run the
         decoder over ``tokens`` against the encoder output at ``seek`` and
-        return the logits of the last token.  Requires audio/mel set."""
+        return the logits of the last token.  Requires audio/mel set.
+
+        The KV cache persists across calls like the reference's
+        whisper_state: ``decode(a, 0)`` then ``decode(b, len(a))``
+        equals ``decode(a+b, 0)``.  ``n_past=0`` resets the cache; a
+        call whose ``n_past`` does not line up with the cached history
+        raises (the reference would silently attend stale cells)."""
         import jax.numpy as jnp
         from .models.model import (decoder_dense, init_kv_cache,
                                    param_compute_dtype)
@@ -241,13 +247,26 @@ class WhisperContext:
         config = self._p.config
         toks = list(tokens)
         T = len(toks)
-        kv = init_kv_cache(config, 1,
-                           dtype=param_compute_dtype(self._p.params))
+        cached = getattr(self, "_decode_state", None)
+        if n_past == 0 or cached is None:
+            kv = init_kv_cache(config, 1,
+                               dtype=param_compute_dtype(self._p.params))
+            if n_past != 0:
+                raise ValueError(
+                    f"decode(n_past={n_past}) with no cached history — "
+                    "start a sequence with n_past=0")
+        else:
+            kv, cached_past = cached
+            if cached_past != n_past:
+                raise ValueError(
+                    f"decode(n_past={n_past}) does not continue the "
+                    f"cached history of {cached_past} tokens")
         arr = jnp.asarray([toks], dtype=jnp.int32)
         positions = jnp.broadcast_to(
             jnp.arange(n_past, n_past + T, dtype=jnp.int32), (1, T))
-        logits, _ = decoder_dense(self._p.params, config, arr, positions,
-                                  kv, xkv, n_valid=T, start=n_past)
+        logits, kv = decoder_dense(self._p.params, config, arr, positions,
+                                   kv, xkv, n_valid=T, start=n_past)
+        self._decode_state = (kv, n_past + T)
         return np.asarray(logits[0, -1])
 
     # ---------------------------------------------------------------- tokenize

@@ -436,10 +436,16 @@ class WhisperPipeline:
     # -------------------------------------------------- device-resident loop
     def _device_loop_eligible(self, tparams: TranscribeParams,
                               temperatures, strategy: str) -> bool:
-        # beam/best_of run on device with a STATIC n_dec rows per stream;
-        # mixed beam_size != best_of across rungs keeps the host path
-        uniform = (strategy == "greedy" or len(temperatures) == 1
-                   or tparams.best_of == tparams.beam_size)
+        # beam/best_of run on device with a STATIC n_dec rows per stream.
+        # Eligible iff every ladder rung's decoder count is either 1 (a
+        # 1-count rung padded to n_dec identical argmax rows is
+        # semantically identical) or exactly n_dec = max(counts) — mixed
+        # widths (beam_size != best_of across rungs) keep the host path,
+        # which runs each rung at the reference's exact width
+        # (whisper.cpp:5187-5206).
+        counts = [tparams.n_decoders_at(t) for t in temperatures]
+        n_dec = max(counts)
+        uniform = all(c in (1, n_dec) for c in counts)
         return (uniform
                 and tparams.grammar_rules is None
                 and tparams.logits_filter_callback is None
@@ -467,7 +473,10 @@ class WhisperPipeline:
             max_tokens=tparams.max_tokens,
             test_mode=(self.n_loaded == 0), fused=use_pallas(),
             seed=tparams.seed,
-            n_dec=tparams.n_decoders(),
+            # width = the max rung count actually scheduled: a
+            # single-rung beam-K ladder runs K rows even when best_of
+            # differs (whisper.cpp:5035-5067 picks per-rung counts)
+            n_dec=max(tparams.n_decoders_at(t) for t in temperatures),
             strategy=("beam" if tparams.strategy
                       == SamplingStrategy.BEAM_SEARCH else "greedy"),
             cross_int8=tparams.cross_kv_int8)

@@ -77,7 +77,7 @@ _H_PAD = 128      # head axis padded to one lane tile
 _BLOCK_BYTES = 3 << 19  # ~1.5 MB per K/V block target
 
 
-def s_below_kernel_cutoff(s: int) -> bool:
+def force_einsum_decode_attn() -> bool:
     """Dispatch override: GWT_DECODE_ATTN=einsum forces the einsum path.
 
     STANDALONE microbenches (KERNELS_r03.json) show the einsum matching
@@ -330,13 +330,7 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if not (use_pallas() or interpret):
         return _fallback(q, k, v, lo, hi, split, n_head,
                          kv_group=kv_group)
-    # Measured dispatch rule (KERNELS_r03.json): the Pallas kernel beats
-    # the XLA einsum only once per-row K/V no longer fits on-chip caches
-    # — large-model widths (S >= 1024: large cross 724 GB/s and 1.5x the
-    # einsum in-step) — while for tiny/base/small widths the einsum path
-    # equals or wins (tiny self standalone 4.7 us vs 11.5).  interpret
-    # mode always exercises the kernel (tests).
-    if s_below_kernel_cutoff(q.shape[1]) and not interpret:
+    if force_einsum_decode_attn() and not interpret:
         return _fallback(q, k, v, lo, hi, split, n_head,
                          kv_group=kv_group)
     interpret = interpret or os.environ.get("GWT_PALLAS_INTERPRET") == "1"

@@ -50,9 +50,9 @@ class BatchTranscriber:
 
     # --------------------------------------------------------------- helpers
     def _eligible(self, tparams: TranscribeParams) -> bool:
-        uniform = (tparams.strategy == SamplingStrategy.GREEDY
-                   or len(tparams.temperatures()) == 1
-                   or tparams.best_of == tparams.beam_size)
+        counts = [tparams.n_decoders_at(t)
+                  for t in tparams.temperatures()]
+        uniform = all(c in (1, max(counts)) for c in counts)
         return (uniform
                 and tparams.grammar_rules is None
                 and tparams.logits_filter_callback is None
@@ -84,7 +84,8 @@ class BatchTranscriber:
             test_mode=(pipe.n_loaded == 0),
             fused=use_pallas(),
             seed=tparams.seed,
-            n_dec=tparams.n_decoders(),
+            n_dec=max(tparams.n_decoders_at(t)
+                      for t in tparams.temperatures()),
             strategy=("beam" if tparams.strategy
                       == SamplingStrategy.BEAM_SEARCH else "greedy"),
             cross_int8=tparams.cross_kv_int8)

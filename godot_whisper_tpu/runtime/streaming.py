@@ -58,6 +58,7 @@ class IncrementalMel:
     """
 
     _FLOOR = -10.0  # log10(1e-10)
+    _FEED_BUCKET = 32  # frames; pads each feed to bound jit cache size
 
     def __init__(self, pipe, cap_frames: Optional[int] = None):
         import jax
@@ -89,7 +90,8 @@ class IncrementalMel:
         self.buf = self._empty()
         self._padded = np.zeros(0, np.float32)  # reflect-head + samples
         self.n_samples = 0
-        self.n_frames_final = 0  # frames that can never change again
+        self.n_frames_final = 0    # frames that can never change again
+        self.n_frames_written = 0  # incl. recomputable boundary frames
         if keep_samples is not None and len(keep_samples):
             self.feed(keep_samples)
 
@@ -98,9 +100,15 @@ class IncrementalMel:
         Returns the number of frames written this call."""
         from ..audio.mel import log_mel_frames_raw, pad_audio
         new_samples = np.asarray(new_samples, dtype=np.float32)
-        if self.n_samples == 0:
-            # materialize the reflect-200 head once (whisper.cpp:2814)
-            self._padded = pad_audio(new_samples)[:200 + len(new_samples)]
+        if self.n_samples <= 200:
+            # the reflect-200 head (whisper.cpp:2814) depends on
+            # samples[1:201]; until those exist, rebuild it from the
+            # accumulated raw audio and recompute the few early frames
+            # (a one-shot mel would reflect the final samples[1:201])
+            raw = np.concatenate([self._padded[200:], new_samples]) \
+                if self.n_samples else new_samples
+            self._padded = pad_audio(raw)[:200 + len(raw)]
+            self.n_frames_final = 0
         else:
             self._padded = np.concatenate([self._padded, new_samples])
         self.n_samples += len(new_samples)
@@ -115,21 +123,38 @@ class IncrementalMel:
         i1 = min(-(-n_pad // HOP_LENGTH), self.cap)
         if i1 <= i0:
             return 0
+        # bucket the write width so the DUS jit compiles once per bucket
+        # (variable per-tick deltas would retrace every interval — remote
+        # compiles are expensive; see StreamingConfig.audio_ctx_bucket)
+        n_w = i1 - i0
+        n_w_pad = min(-(-n_w // self._FEED_BUCKET) * self._FEED_BUCKET,
+                      self.cap - i0)
         tail_pad = np.concatenate(
-            [self._padded, np.zeros(N_FFT, np.float32)])
+            [self._padded,
+             np.zeros(N_FFT + n_w_pad * HOP_LENGTH, np.float32)])
         frames = log_mel_frames_raw(tail_pad, self.pipe.mel.filters,
-                                    i0, i1)
+                                    i0, i0 + n_w_pad)
+        # frames beyond i1 are pure zero audio == the floor value, so the
+        # padded write is harmless (and they get overwritten when real
+        # audio reaches them)
         self.buf = self._feed_jit(self.buf, self._jnp.asarray(frames),
                                   i0)
         self.n_frames_final = min(n_final, self.cap)
-        return i1 - i0
+        self.n_frames_written = max(self.n_frames_written,
+                                    min(i1, self.cap))
+        return n_w
 
     def normalized(self):
-        """(normalized device mel, n_len, n_len_org) for the decoder."""
+        """(normalized device mel, n_len, n_len_org) for the decoder.
+
+        The max-8 clamp runs over every frame holding real data —
+        including the recomputable boundary frames — matching the
+        one-shot mel exactly (a burst in the last <400 samples must
+        drive the clip max)."""
         from ..audio.mel import frame_counts
         n_len, n_len_org = frame_counts(self.n_samples)
         return (self._norm_jit(self.buf,
-                               self._jnp.int32(self.n_frames_final)),
+                               self._jnp.int32(self.n_frames_written)),
                 min(n_len, self.cap), min(n_len_org, self.cap))
 
 
@@ -204,6 +229,7 @@ class StreamingTranscriber:
         self.finalized_texts: List[str] = []
         self._inc: Optional[IncrementalMel] = None
         self._inc_fed = 0  # buffer samples already fed to IncrementalMel
+        self._inc_stale = False  # buffer trimmed since the last feed
 
     # ------------------------------------------------------------------- feed
     def push_audio(self, frames: np.ndarray) -> None:
@@ -269,8 +295,13 @@ class StreamingTranscriber:
             # device mel (O(delta) mel work per interval)
             if self._inc is None:
                 self._inc = IncrementalMel(self.ctx.pipeline)
-            if self._inc_fed > len(buf):        # buffer was trimmed
+            if self._inc_stale or self._inc_fed > len(buf):
+                # buffer was trimmed (sentence finalize keep-back): the
+                # resident mel belongs to the previous sentence's audio,
+                # regardless of whether the buffer has regrown past its
+                # old length — rebuild from the current buffer
                 self._inc.reset(resampled)
+                self._inc_stale = False
             elif len(buf) > self._inc_fed:
                 self._inc.feed(buf[self._inc_fed:])
             self._inc_fed = len(buf)
@@ -304,6 +335,7 @@ class StreamingTranscriber:
             keep = int(cfg.keep_seconds * self.source_rate)
             with self._lock:
                 self._buffer = self._buffer[max(0, len(self._buffer) - keep):]
+            self._inc_stale = True
             self.finalized_texts.append(text)
             self.partial_text = ""
         else:

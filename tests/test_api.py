@@ -128,3 +128,19 @@ def test_tracer_spans(tmp_path, nano_ctx, rng):
     assert "mel" in names
     assert ("decode_clip_device" in names
             or {"encode_window", "decode_window"} <= names)
+
+
+def test_decode_incremental_matches_oneshot(nano_ctx, rng):
+    """whisper_decode-style incremental calls reuse the cached KV:
+    decode(a, 0) then decode(b, len(a)) == decode(a+b, 0)."""
+    audio = (0.2 * rng.standard_normal(16000)).astype(np.float32)
+    nano_ctx.pipeline.set_audio(audio)
+    a = [nano_ctx.config.token_sot, 5, 9]
+    b = [11, 3]
+    one_shot = nano_ctx.decode(a + b, 0)
+    nano_ctx.decode(a, 0)
+    incremental = nano_ctx.decode(b, len(a))
+    np.testing.assert_allclose(incremental, one_shot, atol=2e-4)
+    # misaligned continuation is an error, not silent garbage
+    with pytest.raises(ValueError):
+        nano_ctx.decode([7], 99)

@@ -137,3 +137,60 @@ def test_streaming_incremental_matches_full(nano_ctx, rng):
             st.process_once()
         outs[inc] = st.text()
     assert outs[True] == outs[False]
+
+
+def test_incremental_mel_tail_burst(nano_ctx):
+    """A loud burst in the final <400 samples must drive the clip-global
+    max-8 clamp exactly as the one-shot mel (the boundary frames count
+    toward the max)."""
+    from godot_whisper_tpu.audio.mel import log_mel_host
+    from godot_whisper_tpu.runtime.streaming import IncrementalMel
+    pipe = nano_ctx.pipeline
+    audio = np.full(16000, 1e-4, np.float32)
+    audio[-300:] = 0.9                      # burst at the very end
+    inc = IncrementalMel(pipe)
+    for i in range(0, len(audio), 4000):
+        inc.feed(audio[i:i + 4000])
+    mel_inc, n_len, _ = inc.normalized()
+    want = log_mel_host(audio, pipe.mel.filters, n_frames=inc.cap)
+    np.testing.assert_allclose(np.asarray(mel_inc), want,
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_incremental_mel_short_first_feed(nano_ctx):
+    """A first feed shorter than the 200-sample reflect head must not
+    freeze a zero-padded head: the final mel equals the one-shot mel."""
+    from godot_whisper_tpu.audio.mel import log_mel_host
+    from godot_whisper_tpu.runtime.streaming import IncrementalMel
+    rng = np.random.default_rng(13)
+    pipe = nano_ctx.pipeline
+    audio = (0.2 * rng.standard_normal(8000)).astype(np.float32)
+    inc = IncrementalMel(pipe)
+    inc.feed(audio[:160])                   # < 201 samples
+    inc.feed(audio[160:500])
+    inc.feed(audio[500:])
+    mel_inc, _, _ = inc.normalized()
+    want = log_mel_host(audio, pipe.mel.filters, n_frames=inc.cap)
+    np.testing.assert_allclose(np.asarray(mel_inc), want,
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_streaming_trim_resets_incremental(nano_ctx, rng):
+    """After a sentence finalize trims the buffer, the incremental path
+    must rebuild its mel even when the buffer regrows past its previous
+    length — parity with the re-mel-everything path throughout."""
+    audio = (0.2 * rng.standard_normal(16000 * 3)).astype(np.float32)
+    outs = {}
+    for inc in (False, True):
+        st = StreamingTranscriber(
+            nano_ctx,
+            StreamingConfig(minimum_sentence_time=0.4,
+                            maximum_sentence_time=0.8,  # force finalizes
+                            keep_seconds=0.3,
+                            incremental_mel=inc),
+            source_rate=16000)
+        for i in range(0, len(audio), 16000):
+            st.push_audio(audio[i:i + 16000])
+            st.process_once()
+        outs[inc] = (st.text(), list(st.finalized_texts))
+    assert outs[True] == outs[False]
