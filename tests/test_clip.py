@@ -295,3 +295,37 @@ def test_device_beam_cross_int8(nano_ctx, rng):
     device = pipe_full_fresh(nano_ctx.pipeline, p, clip)
     host = _run_host(nano_ctx, p, clip)
     assert _segs_key(device) == _segs_key(host)
+
+
+@pytest.fixture(scope="module")
+def nano_multi_ctx():
+    """Multilingual nano: real `tiny` token layout (lang tokens, translate
+    task) with scaled-down layers."""
+    import jax.numpy as jnp
+    from godot_whisper_tpu.audio.mel import mel_filterbank
+    from godot_whisper_tpu.audio.tokenizer import Tokenizer, synthetic_vocab
+    from godot_whisper_tpu.models.params import init_params
+
+    cfg = gwt.get_config("tiny").replace(
+        n_audio_layer=2, n_text_layer=2, n_audio_state=128, n_audio_head=4,
+        n_text_state=128, n_text_head=4, name="nano-multi")
+    assert cfg.is_multilingual
+    params = init_params(cfg, seed=0, compute_dtype=jnp.float32)
+    tokenizer = Tokenizer(cfg, synthetic_vocab(cfg))
+    pipe = WhisperPipeline(cfg, params, tokenizer, mel_filterbank(80),
+                           n_loaded=1)
+    return gwt.WhisperContext(pipe)
+
+
+@pytest.mark.parametrize("translate,language", [(False, "de"),
+                                                (True, "fr")])
+def test_device_matches_host_multilingual(nano_multi_ctx, rng, translate,
+                                          language):
+    """Multilingual lang/task prompt prefixes ([sot, lang, task](+not),
+    whisper.cpp:5104-5129) through the device clip loop == host path."""
+    clip = _clip(rng, 2.0, 220)
+    p = gwt.TranscribeParams(best_of=1, temperature_inc=0.0,
+                             language=language, translate=translate)
+    device = pipe_full_fresh(nano_multi_ctx.pipeline, p, clip)
+    host = _run_host(nano_multi_ctx, p, clip)
+    assert _segs_key(device) == _segs_key(host)
