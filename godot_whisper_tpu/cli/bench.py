@@ -345,13 +345,66 @@ def bench_kernels() -> None:
     emit("mel jnp (30s)", us, mel_flops / us, "GFLOPS", peak_flops)
 
 
+def bench_sweep(models, batches, audio_seconds: float, out_csv) -> None:
+    """Model x batch-size throughput sweep -> CSV — the analogue of the
+    reference's ``extra/bench.py`` (model x thread x processor sweep,
+    whisper.cpp README.md:742-752), re-aimed at the TPU serving axes."""
+    import csv
+    import sys as _sys
+    import time as _time
+
+    import numpy as np
+
+    import godot_whisper_tpu as gwt
+    from godot_whisper_tpu.parallel.batch import BatchTranscriber
+
+    sys.path.insert(0, "/root/repo")
+    rows = []
+    w = csv.writer(out_csv)
+    w.writerow(["model", "batch", "audio_s", "wall_s", "audio_s_per_s"])
+    for model in models:
+        ctx = gwt.WhisperContext.synthetic(model, seed=0, on_device=True)
+        tp = gwt.TranscribeParams(best_of=1, temperature_inc=0.0,
+                                  print_progress=False)
+        rng = np.random.default_rng(0)
+
+        def make(seed):
+            t = np.arange(int(audio_seconds * 16000)) / 16000.0
+            return (0.2 * np.sin(2 * np.pi * 220 * t)
+                    + 0.01 * rng.standard_normal(len(t))
+                    ).astype(np.float32)
+
+        bt = BatchTranscriber(ctx)
+        for nb in batches:
+            clips = [make(i) for i in range(nb)]
+            bt.transcribe(clips, tp)          # warm/compile
+            t0 = _time.perf_counter()
+            bt.transcribe(clips, tp)
+            dt = _time.perf_counter() - t0
+            total = nb * audio_seconds
+            w.writerow([model, nb, total, round(dt, 3),
+                        round(total / dt, 1)])
+            out_csv.flush()
+            print(f"{model} B={nb}: {total / dt:.1f} audio-s/s",
+                  file=_sys.stderr)
+        del ctx, bt
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="gwt-bench")
     p.add_argument("--what",
-                   choices=["encoder", "memcpy", "matmul", "e2e", "kernels"],
+                   choices=["encoder", "memcpy", "matmul", "e2e",
+                            "kernels", "sweep"],
                    default="encoder")
     p.add_argument("-m", "--model", default="tiny.en")
     p.add_argument("-n", "--iterations", type=int, default=8)
+    p.add_argument("--models", default="tiny.en,base.en,small.en",
+                   help="sweep: comma list of model names")
+    p.add_argument("--batches", default="1,8,16",
+                   help="sweep: comma list of batch sizes")
+    p.add_argument("--audio-seconds", type=float, default=60.0)
+    p.add_argument("-o", "--output", default="-",
+                   help="sweep: CSV path (default stdout)")
     args = p.parse_args(argv)
 
     from godot_whisper_tpu.runtime.cache import enable_compilation_cache
@@ -365,6 +418,14 @@ def main(argv=None) -> int:
         bench_matmul()
     elif args.what == "kernels":
         bench_kernels()
+    elif args.what == "sweep":
+        models = [m for m in args.models.split(",") if m]
+        batches = [int(b) for b in args.batches.split(",") if b]
+        if args.output == "-":
+            bench_sweep(models, batches, args.audio_seconds, sys.stdout)
+        else:
+            with open(args.output, "w", newline="") as f:
+                bench_sweep(models, batches, args.audio_seconds, f)
     elif args.what == "e2e":
         import subprocess
         return subprocess.call([sys.executable, "bench.py"])

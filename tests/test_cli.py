@@ -183,3 +183,26 @@ def test_server_micro_batching(pico_bin, tmp_path):
     finally:
         batch_mod.BatchTranscriber.transcribe = orig
         httpd.shutdown()
+
+
+def test_bench_sweep_csv(tmp_path, monkeypatch):
+    """The model x batch sweep (extra/bench.py analogue) writes a CSV."""
+    import io
+
+    from godot_whisper_tpu.cli import bench as bench_cli
+    from godot_whisper_tpu.models import config as config_mod
+
+    # shrink tiny.en so the CPU sweep is fast
+    nano = gwt.get_config("tiny.en").replace(
+        n_audio_layer=1, n_text_layer=1, n_audio_state=128,
+        n_audio_head=4, n_text_state=128, n_text_head=4, name="nano")
+    monkeypatch.setattr(config_mod, "get_config", lambda name: nano)
+    import godot_whisper_tpu
+    monkeypatch.setattr(godot_whisper_tpu, "get_config", lambda name: nano)
+
+    out = io.StringIO()
+    bench_cli.bench_sweep(["tiny.en"], [1, 2], 1.0, out)
+    lines = out.getvalue().strip().splitlines()
+    assert lines[0].startswith("model,batch")
+    assert len(lines) == 3
+    assert lines[1].split(",")[0] == "tiny.en"
