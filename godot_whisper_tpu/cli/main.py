@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-olrc", "--output-lrc", action="store_true")
     p.add_argument("-oj", "--output-json", action="store_true")
     p.add_argument("-ojf", "--output-json-full", action="store_true")
+    p.add_argument("-owts", "--output-words", action="store_true",
+                   help="karaoke ffmpeg script with per-token highlights "
+                        "(forces token-level timestamps)")
+    p.add_argument("-fp", "--font-path", default=None,
+                   help="monospace font for -owts (default: the "
+                        "reference's Courier New Bold path)")
     p.add_argument("-of", "--output-file", default=None,
                    help="output basename (default: input path)")
     p.add_argument("--quantize", default=None, metavar="MODE",
@@ -110,7 +116,8 @@ def main(argv: List[str] = None) -> int:
         initial_prompt=args.prompt,
         no_timestamps=args.no_timestamps,
         detect_language=args.detect_language,
-        token_timestamps=args.max_len > 0 or args.output_json_full,
+        token_timestamps=(args.max_len > 0 or args.output_json_full
+                          or args.output_words),
         print_special=args.print_special,
     )
 
@@ -147,6 +154,14 @@ def main(argv: List[str] = None) -> int:
                                      model_name=ctx.config.name,
                                      language=args.language,
                                      full=args.output_json_full)),
+            (args.output_words, ".wts",
+             lambda: outputs.to_wts(
+                 segments, input_path=path,
+                 duration_sec=len(samples) / gwt.SAMPLE_RATE,
+                 token_to_str=ctx.token_to_str,
+                 eot=ctx.config.token_eot,
+                 font_path=(args.font_path
+                            or outputs.DEFAULT_WTS_FONT))),
         ]
         for enabled, ext, fn in writers:
             if enabled:

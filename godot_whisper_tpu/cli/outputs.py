@@ -1,4 +1,4 @@
-"""Transcript output writers: txt / vtt / srt / csv / json / lrc.
+"""Transcript output writers: txt / vtt / srt / csv / json / lrc / wts.
 
 Mirrors the output family of the reference CLI
 (/root/reference/thirdparty/whisper.cpp/examples/main/main.cpp:80-169 output
@@ -8,7 +8,7 @@ flags and the corresponding output_* functions).
 from __future__ import annotations
 
 import json
-from typing import List
+from typing import Callable, List
 
 from ..decode.loop import Segment
 
@@ -68,6 +68,87 @@ def to_lrc(segments: List[Segment]) -> str:
         msec -= sec * 1000
         out.append(f"[{mins:02d}:{sec:02d}.{msec // 10:02d}]{s.text.strip()}")
     return "\n".join(out) + "\n"
+
+
+DEFAULT_WTS_FONT = "/System/Library/Fonts/Supplemental/Courier New Bold.ttf"
+
+
+def _wts_escape(s: str) -> str:
+    """Quote rules of the reference writer (main.cpp:780-784): apostrophes
+    become U+2019 (ffmpeg filter strings are single-quoted), double quotes
+    are backslash-escaped."""
+    return s.replace("'", "’").replace('"', '\\"')
+
+
+def _wts_pad(s: str) -> str:
+    """Each character of a non-highlighted token renders as an escaped
+    space so the karaoke line keeps its monospace alignment."""
+    return "\\ " * len(s)
+
+
+def to_wts(segments: List[Segment], *, input_path: str,
+           duration_sec: float, token_to_str: Callable[[int], str],
+           eot: int, font_path: str = DEFAULT_WTS_FONT) -> str:
+    """Karaoke video script: a bash file running one ffmpeg command that
+    draws the segment text in gray with the currently-spoken token
+    highlighted (lightgreen + underline) using its token-level timestamps.
+
+    Behavioral mirror of output_wts (examples/main/main.cpp:688-812):
+    a black 1200x120 canvas over the audio, one background drawtext per
+    segment enabled for [t0, t1], and per non-special token a foreground +
+    underline drawtext enabled for that token's [t0, t1] (centiseconds,
+    so /100 converts to seconds).  Requires token_timestamps — the CLI
+    forces them on when -owts is given, as the reference does
+    (main.cpp:936).
+    """
+    def sec(t_cs) -> str:
+        return format(t_cs / 100.0, "g")
+
+    filters: List[str] = []
+
+    def drawtext(color: str, text: str, t0_cs, t1_cs,
+                 x: str = "(w-text_w)/2", dy: int = 0) -> str:
+        y = "h/2" if dy == 0 else f"h/2+{dy}"
+        return (f"drawtext=fontfile='{font_path}':fontsize=24:"
+                f"fontcolor={color}:x={x}:y={y}:text='{text}':"
+                f"enable='between(t,{sec(t0_cs)},{sec(t1_cs)})'")
+
+    for s in segments:
+        toks = [t for t in s.tokens if t.id < eot]
+        texts = [token_to_str(t.id) for t in toks]
+        # segment separator marker (zero-length enable window, as the
+        # reference emits)
+        filters.append(drawtext("gray", "", s.t0, s.t0))
+        bg = _wts_escape("> " + "".join(texts))
+        for j, (tok, txt) in enumerate(zip(toks, texts)):
+            if j == 0:
+                filters.append(drawtext("gray", bg, s.t0, s.t1))
+            fg = "> " + "".join(
+                _wts_escape(t2) + "|" if k == j else _wts_pad(t2)
+                for k, t2 in enumerate(texts))
+            ul = "\\ \\ " + "".join(
+                "_" * len(t2) if k == j else _wts_pad(t2)
+                for k, t2 in enumerate(texts))
+            t0 = max(tok.t0, 0)
+            t1 = max(tok.t1, 0)
+            filters.append(drawtext("lightgreen", fg, t0, t1,
+                                    x="(w-text_w)/2+8"))
+            filters.append(drawtext("lightgreen", ul, t0, t1,
+                                    x="(w-text_w)/2+8", dy=16))
+
+    vf = ",".join(filters)
+    out = input_path + ".mp4"
+    return (
+        "#!/bin/bash\n"
+        "\n"
+        f"ffmpeg -i {input_path} -f lavfi -i color=size=1200x120:"
+        f"duration={format(duration_sec, 'g')}:rate=25:color=black "
+        f"-vf \"{vf}\" -c:v libx264 -pix_fmt yuv420p -y {out}\n"
+        "\n\n"
+        f"echo \"Your video has been saved to {out}\"\n"
+        "\n"
+        f"echo \"  ffplay {out}\"\n"
+        "\n")
 
 
 def to_json(segments: List[Segment], *, model_name: str = "",

@@ -265,10 +265,11 @@ class ClipDecoder:
     def drain(self, state: ClipState) -> ClipOutputs:
         """ONE batched device->host pull of every output buffer.
 
-        The four probability buffers cross the wire as f16 (they are
-        per-token display/scoring metadata — f16 carries their full
-        useful precision at half the transfer; token ids/lengths stay
-        exact)."""
+        Three probability buffers (p/pt/ptsum) cross the wire as f16 —
+        they are per-token display metadata and f16 carries their full
+        useful precision at half the transfer.  ``plog`` stays exact f32:
+        it is the one buffer with scoring semantics (Segment.avg_logprob,
+        downstream quality gates) and consumers may sum/average it."""
         packed = self._pack_drain(
             state.out_p, state.out_plog, state.out_pt, state.out_ptsum)
         vals = jax.device_get((
@@ -286,7 +287,7 @@ class ClipDecoder:
     @jax.jit
     def _pack_drain(p, plog, pt, ptsum):
         import jax.numpy as _jnp
-        return (p.astype(_jnp.float16), plog.astype(_jnp.float16),
+        return (p.astype(_jnp.float16), plog.astype(_jnp.float32),
                 pt.astype(_jnp.float16), ptsum.astype(_jnp.float16))
 
     # ------------------------------------------------------------------ build

@@ -3,12 +3,13 @@
 
 The reference spawns one host thread + one whisper_state per contiguous
 audio chunk.  The TPU-native equivalent is BATCHED chunks: eligible
-(greedy) transcriptions stack the chunks on the batch axis and decode them
-concurrently in the device-resident clip loop (parallel/batch.py) — one
-dispatch drives every chunk's seek loop at once, the chip-side analogue of
-the reference's thread-per-chunk.  Host-interactive decode modes
-(beam/best_of ranking, grammar, callbacks) fall back to sequential chunk
-decodes with identical merge semantics.
+transcriptions — greedy AND beam/best_of (each chunk gets its own
+in-device decoder pool) — stack the chunks on the batch axis and decode
+them concurrently in the device-resident clip loop (parallel/batch.py) —
+one dispatch drives every chunk's seek loop at once, the chip-side
+analogue of the reference's thread-per-chunk.  Host-interactive decode
+modes (grammar, user callbacks, language auto-detect) fall back to
+sequential chunk decodes with identical merge semantics.
 
 Chunk boundaries keep the reference's behavior: timestamps offset by the
 chunk start (whisper.cpp:5877-5896) and the same boundary-quality caveat

@@ -185,9 +185,10 @@ class MultiHostBatchTranscriber(BatchTranscriber):
         tparams = tparams or TranscribeParams()
         if not self._eligible(tparams):
             raise ValueError(
-                "multi-host batch mode supports greedy decoding without "
-                "host callbacks/grammar (the host-interactive paths cannot "
-                "run SPMD); run those clips per-host via pipeline.full()")
+                "multi-host batch mode supports greedy and beam/best_of "
+                "decoding without host callbacks/grammar/auto-detect (the "
+                "host-interactive paths cannot run SPMD); run those clips "
+                "per-host via pipeline.full()")
 
         nproc = jax.process_count()
         counts = _allgather_host(np.asarray([len(clips)], np.int32))

@@ -105,6 +105,43 @@ def test_output_formats():
     assert data["transcription"][0]["tokens"][0]["id"] == 1
 
 
+def test_output_wts_karaoke():
+    """Karaoke script writer (output_wts, examples/main/main.cpp:688-812):
+    one ffmpeg command, background gray text per segment, lightgreen
+    highlight + underline per token enabled over the token's times."""
+    segs = [
+        Segment(t0=0, t1=150, text=" Hi there", tokens=[
+            TokenData(id=1, tid=50363, p=0.9, plog=-0.1, pt=0.5,
+                      ptsum=0.9, t0=0, t1=80),
+            TokenData(id=2, tid=50363, p=0.8, plog=-0.2, pt=0.5,
+                      ptsum=0.9, t0=80, t1=150),
+            # special token (>= eot) must be skipped
+            TokenData(id=99, tid=50363, p=1.0, plog=0.0, pt=0.0,
+                      ptsum=0.0, t0=150, t1=150),
+        ]),
+    ]
+    vocab = {1: " Hi", 2: " y'all\""}
+    wts = outputs.to_wts(segs, input_path="in.wav", duration_sec=1.5,
+                         token_to_str=lambda i: vocab[i], eot=99,
+                         font_path="/tmp/mono.ttf")
+    assert wts.startswith("#!/bin/bash\n")
+    assert "ffmpeg -i in.wav" in wts
+    assert "duration=1.5:rate=25:color=black" in wts
+    # background line: full escaped text, over the whole segment
+    assert ("fontcolor=gray" in wts and
+            "text='>  Hi y’all\\\"':enable='between(t,0,1.5)'" in wts)
+    # token 1 highlighted with following token padded out, over [0, 0.8]
+    assert ("text='>  Hi|\\ \\ \\ \\ \\ \\ \\ ':enable='between(t,0,0.8)'"
+            in wts)
+    # underline row sits 16px below
+    assert "y=h/2+16" in wts
+    # exactly one ffmpeg invocation, output mp4 named after the input
+    assert wts.count("ffmpeg -i") == 1
+    assert "-y in.wav.mp4" in wts
+    # a special token never draws
+    assert wts.count("between(t,1.5,1.5)'") == 0
+
+
 def test_tracer_spans(tmp_path, nano_ctx, rng):
     from godot_whisper_tpu.runtime.trace import tracer
     import json as _json
