@@ -44,6 +44,7 @@ from ..models.model import (CrossKV, KVCache, QuantCrossKV,
                             param_compute_dtype, decoder_dense,
                             decoder_step, init_kv_cache, reorder_kv_cache)
 from ..ops.attention import use_pallas
+from ..ops.kv_reorder import reorder_kv_live
 from ..ops.filter_sample import fused_filter_sample
 from .filters import FilterContext, process_logits, timestamp_stats
 
@@ -233,9 +234,20 @@ def _sample_beam(st: LoopState, statics: WindowStatics, fctx: FilterContext):
     plog = jnp.where(live, plog_new, 0.0)
 
     # gather candidate-carried state from source beams (whisper.cpp:5332,
-    # 5397-5400): sequence, seek_delta, has_ts, result_len, token data
+    # 5397-5400): sequence, seek_delta, has_ts, result_len, token data.
+    # The KV gather is BOUNDED to the live prefix [0, split + i) — the
+    # functional analogue of the reference's zero-copy seq_cp re-tagging
+    # (whisper.cpp:5402-5418); slots beyond are dead (rewritten before
+    # any read, masked in attention) so they are left unspecified
+    # instead of copied (ops/kv_reorder.py).  A ping-pong alt-buffer
+    # variant that also skips the prompt region measured SLOWER in-loop
+    # (+560 us/step): swapping buffer roles between while-loop
+    # iterations breaks XLA's stable carry-buffer assignment and it
+    # restores it with full copies.
+    hi_live = statics.prompt_pad + st.i
+    new_k, new_v = reorder_kv_live(st.kv.k, st.kv.v, src, hi_live)
     st = st._replace(
-        kv=reorder_kv_cache(st.kv, src),
+        kv=KVCache(k=new_k, v=new_v),
         tokens=st.tokens[src],
         tok_p=st.tok_p[src], tok_plog=st.tok_plog[src],
         tok_pt=st.tok_pt[src], tok_ptsum=st.tok_ptsum[src],

@@ -469,7 +469,16 @@ def decoder_step(
     positional embedding and the decode state machine, while the cache
     slot is the batch-uniform ``split + i`` — per-row prompt lengths
     become mask parameters instead of per-row write offsets (a scatter).
-    Returns (logits (B, V) f32, new kv).
+
+    The KV cache rides the layer scan as CARRY, updated in place by a
+    4-D ``dynamic_update_slice`` at (layer, 0, slot, 0), and the
+    attention kernels read the full stacked cache with the layer index
+    in their BlockSpec index maps.  An earlier structure that threaded
+    per-layer cache slices through scan xs/ys re-materialized the ENTIRE
+    cache every token step (the ys stacking is a fresh allocation and
+    xs slicing cannot fuse into a Pallas call) — ~125 MB/step of pure
+    copy at tiny/beam-5/batch-8, measured as the bulk of the decode
+    step.  Returns (logits (B, V) f32, new kv).
     """
     from ..ops.decode_attention import decode_attention
     from ..ops.cross_attention import cross_attention_quant
@@ -486,22 +495,28 @@ def decoder_step(
     cross_lo = jnp.broadcast_to(xkv.t_valid, (B,)).astype(jnp.int32)
 
     x = _embed(dec, token, pos, cdtype)                       # (B, S)
+    n_layer = config.n_text_layer
+    zero = jnp.int32(0)
 
-    def one_layer(x, inputs):
-        layer, kv_k, kv_v, xkv_l = inputs
+    def one_layer(carry, inputs):
+        x, kv_k, kv_v = carry
+        layer, l_idx = inputs
         ln0, attn = layer["attn_ln"], layer["attn"]
         h = layer_norm(x, ln0["g"], ln0["b"]).astype(cdtype)
         q = _proj(h, attn["wq"], attn["bq"])
         k_new = _proj(h, attn["wk"])
         v_new = _proj(h, attn["wv"], attn["bv"])
 
-        kv_k = lax.dynamic_update_slice_in_dim(
-            kv_k, k_new[:, None].astype(kv_k.dtype), slot, axis=1)
-        kv_v = lax.dynamic_update_slice_in_dim(
-            kv_v, v_new[:, None].astype(kv_v.dtype), slot, axis=1)
+        # in-place single-slot write into the scan-carried full cache
+        kv_k = lax.dynamic_update_slice(
+            kv_k, k_new[None, :, None, :].astype(kv_k.dtype),
+            (l_idx, zero, slot, zero))
+        kv_v = lax.dynamic_update_slice(
+            kv_v, v_new[None, :, None, :].astype(kv_v.dtype),
+            (l_idx, zero, slot, zero))
 
         o = decode_attention(q, kv_k, kv_v, lo, hi,
-                             split=split, n_head=n_head)
+                             split=split, n_head=n_head, layer=l_idx)
         x = x + _proj(o.astype(cdtype), attn["wo"], attn["bo"],
                       out_dtype=cdtype)
 
@@ -509,17 +524,14 @@ def decoder_step(
         h = layer_norm(x, lnc["g"], lnc["b"]).astype(cdtype)
         qc = _proj(h, cattn["wq"], cattn["bq"])
         if quant_xkv:
-            xl = xkv_l
-            if kv_group > 1:
-                # grouped int8 kernel not yet implemented: repeat the
-                # int8 rows per beam (still half the bytes of bf16)
-                xl = tuple(jnp.repeat(a, kv_group, axis=0) for a in xl)
-            oc = cross_attention_quant(qc, *xl, n_head=n_head,
-                                       t_valid=cross_lo)
+            oc = cross_attention_quant(
+                qc, xkv.k_q, xkv.k_s, xkv.v_q, xkv.v_s, n_head=n_head,
+                t_valid=cross_lo, layer=l_idx, kv_group=kv_group)
         else:
-            oc = decode_attention(qc, xkv_l[0], xkv_l[1], cross_lo,
+            oc = decode_attention(qc, xkv.k, xkv.v, cross_lo,
                                   jnp.int32(0), split=t_pad,
-                                  n_head=n_head, kv_group=kv_group)
+                                  n_head=n_head, kv_group=kv_group,
+                                  layer=l_idx)
         x = x + _proj(oc.astype(cdtype), cattn["wo"], cattn["bo"],
                       out_dtype=cdtype)
 
@@ -528,11 +540,11 @@ def decoder_step(
         h = jax.nn.gelu(_proj(h, mlp["w0"], mlp["b0"]), approximate=False)
         h = _proj(h.astype(cdtype), mlp["w1"], mlp["b1"], out_dtype=cdtype)
         x = (x + h).astype(cdtype)
-        return x, (kv_k, kv_v)
+        return (x, kv_k, kv_v), None
 
-    x, (new_k, new_v) = lax.scan(
-        lambda c, inp: one_layer(c, inp), x,
-        (dec["blocks"], kv.k, kv.v, _xkv_scan_xs(xkv)))
+    (x, new_k, new_v), _ = lax.scan(
+        one_layer, (x, kv.k, kv.v),
+        (dec["blocks"], jnp.arange(n_layer, dtype=jnp.int32)))
 
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"]).astype(cdtype)
     return _logits(dec, x), KVCache(k=new_k, v=new_v)

@@ -12,16 +12,17 @@ only if the upcast happens on-chip: a plain-XLA dequant einsum
 materializes float copies in HBM and measured slower than bf16.
 
 Same structure as ops/decode_attention.py (segment-matrix head
-reduction, batch-tiled key blocks, online softmax, grid (B/BT, NC)),
-plus:
+reduction built in-kernel from iotas, batch-tiled key blocks, online
+softmax, whole-(L,B,T,S) operands with the layer in the index maps so
+layer scans never materialize per-layer slices), plus:
 - K dequant folds into the scores AFTER the segment matmul:
   ``scores(c,h) = (sum_s kq(c,s)*q(s)*SEG[s,h]) * k_s(c,h)`` — exact,
   since within a head column every element shares the (c,h) scale;
 - V's per-head scale folds into the final normalization.
 
 Scales ride pre-padded to the 128-lane head tile
-(models/model.quantize_cross_kv): k_s (B, T_pad, 128) bf16,
-v_s (B, 128) f32 — zero lanes beyond n_head contribute nothing.
+(models/model.quantize_cross_kv): k_s (L, B, T_pad, 128) bf16,
+v_s (L, B, 128) f32 — zero lanes beyond n_head contribute nothing.
 """
 
 from __future__ import annotations
@@ -41,20 +42,25 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 from .attention import use_pallas
-from .decode_attention import (_BLOCK_C, _H_PAD, _NEG_INF,
-                               _fallback, _pick_bt, _segment_matrix)
+from .decode_attention import (_BLOCK_C, _H_PAD, _NEG_INF, _dot32,
+                               _fallback, _ones, _pick_bt, _seg_t)
 
 
-def _xattn_q_kernel(hi_ref, lo_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
-                    segt_ref, o_ref, acc_ref, m_ref, l_ref, *,
-                    n_blocks_max: int, scale: float, bt: int):
+def _xattn_q_kernel(scal_ref, lo_ref, q_ref, kq_ref, ks_ref, vq_ref,
+                    vs_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                    n_blocks_max: int, scale: float, bt: int,
+                    n_head: int, shared_kv: bool = False):
     """Per-row unrolled int8 cross-attention block (all-2D ops — see
     decode_attention._decode_attn_kernel for the structure rationale).
     q folds into the transposed segment matrix; int8 K upcasts exactly
     to bf16 for the score matmul; the per-(position, head) K scales
-    apply to the f32 scores, V's per-head scale at normalization."""
+    apply to the f32 scores, V's per-head scale at normalization.
+    ``shared_kv``: the BT rows are one beam group attending a single
+    shared int8 K/V row — replaces the materialized jnp.repeat per beam
+    (advisor r3 finding #2)."""
     c = pl.program_id(1)
-    n_active = jnp.maximum(pl.cdiv(hi_ref[0], _BLOCK_C), 1)
+    n_active = jnp.maximum(pl.cdiv(scal_ref[0], _BLOCK_C), 1)
+    s_dim = q_ref.shape[-1]
 
     @pl.when(c == 0)
     def _():
@@ -64,19 +70,28 @@ def _xattn_q_kernel(hi_ref, lo_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
 
     @pl.when(c < n_active)
     def _():
-        segt = segt_ref[:]                                # (HP, S) bf16
+        segt = _seg_t(s_dim, n_head)                      # (HP, S) bf16
         slot2 = (c * _BLOCK_C + lax.broadcasted_iota(
             jnp.int32, (_BLOCK_C, _H_PAD), 0))
+        if shared_kv:
+            kq = kq_ref[0, 0].astype(jnp.bfloat16)        # (BC, S) exact
+            v = vq_ref[0, 0].astype(jnp.float32)
+            ks = ks_ref[0, 0].astype(jnp.float32)
         for b_ in range(bt):
-            kq = kq_ref[b_].astype(jnp.bfloat16)          # (BC, S) exact
-            v = vq_ref[b_].astype(jnp.float32)            # (BC, S)
-            q_b = q_ref[b_, 0].astype(jnp.bfloat16)       # (S,)
-            lo_b = lo_ref[b_, 0, 0]
+            if shared_kv:
+                q_b = q_ref[0, b_].astype(jnp.bfloat16)   # (S,)
+                lo_b = lo_ref[0, b_, 0]
+            else:
+                kq = kq_ref[0, b_].astype(jnp.bfloat16)   # (BC, S) exact
+                v = vq_ref[0, b_].astype(jnp.float32)     # (BC, S)
+                ks = ks_ref[0, b_].astype(jnp.float32)
+                q_b = q_ref[b_, 0].astype(jnp.bfloat16)   # (S,)
+                lo_b = lo_ref[b_, 0, 0]
             seg_q = segt * q_b[None, :]                   # (HP, S)
             s = lax.dot_general(
                 kq, seg_q, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale  # (BC, HP)
-            s = s * ks_ref[b_].astype(jnp.float32)        # dequant scores
+            s = s * ks                                    # dequant scores
 
             s = jnp.where(slot2 < lo_b, s, _NEG_INF)
 
@@ -88,52 +103,210 @@ def _xattn_q_kernel(hi_ref, lo_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
 
             p_s = jnp.dot(p.astype(jnp.bfloat16), segt,
                           preferred_element_type=jnp.float32)  # (BC, S)
-            corr_s = jnp.dot(corr_h[None, :].astype(jnp.float32),
-                             segt.astype(jnp.float32),
-                             preferred_element_type=jnp.float32)[0]
+            corr_s = _dot32(corr_h[None, :].astype(jnp.float32),
+                            segt.astype(jnp.float32))[0]
             acc_ref[b_, :] = (acc_ref[b_] * corr_s
                               + jnp.sum(p_s * v, axis=0))
 
     @pl.when(c == n_blocks_max - 1)
     def _():
-        segt_f = segt_ref[:].astype(jnp.float32)
-        l_s = jnp.dot(jnp.maximum(l_ref[:], 1e-30), segt_f,
-                      preferred_element_type=jnp.float32)  # (BT, S)
-        vs_s = jnp.dot(vs_ref[:, 0, :], segt_f,
-                       preferred_element_type=jnp.float32)  # (BT, S)
-        o_ref[:, 0, :] = (acc_ref[:] / jnp.maximum(l_s, 1e-30) * vs_s
-                          ).astype(o_ref.dtype)
+        segt_f = _seg_t(s_dim, n_head).astype(jnp.float32)
+        l_s = _dot32(jnp.maximum(l_ref[:], 1e-30), segt_f)  # (BT, S)
+        if shared_kv:
+            vs_s = _dot32(vs_ref[0, 0].astype(jnp.float32),
+                          segt_f)                         # (1, S)
+            out = acc_ref[:] / jnp.maximum(l_s, 1e-30) * vs_s
+            o_ref[0] = out.astype(o_ref.dtype)
+        else:
+            vs_s = _dot32(vs_ref[0, :, 0, :].astype(jnp.float32),
+                          segt_f)                         # (BT, S)
+            o_ref[:, 0, :] = (acc_ref[:] / jnp.maximum(l_s, 1e-30) * vs_s
+                              ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
-def _xattn_q_tpu(q, k_q, k_s, v_q, v_s, lo, hi, seg, *, n_head: int,
-                 interpret: bool = False):
+def _xattn_q_group_packed_kernel(
+        scal_ref, lo_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
+        acc_ref, m_ref, l_ref, *,
+        n_blocks_max: int, scale: float, kg: int, n_head: int,
+        blk_c: int = _BLOCK_C):
+    """PACKED int8 beam-group cross attention (see
+    decode_attention._decode_attn_group_packed_kernel for the packing
+    scheme).  int8 K/V upcast exactly to bf16; the per-(position, head)
+    K scales select into a (HP, BC) tile with one NT dot against an
+    iota-generated head-select matrix; V's per-head scale applies at the
+    final per-row select."""
+    c = pl.program_id(1)
+    n_active = jnp.maximum(pl.cdiv(scal_ref[0], blk_c), 1)
+    s_dim = q_ref.shape[-1]
+    d = s_dim // n_head
+    bc = kq_ref.shape[2]
+
+    @pl.when(c == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(c < n_active)
+    def _():
+        r_s = lax.broadcasted_iota(jnp.int32, (_H_PAD, s_dim), 0)
+        lane_h = lax.broadcasted_iota(jnp.int32, (_H_PAD, s_dim), 1) // d
+        segstack = (lane_h == r_s % n_head).astype(jnp.bfloat16)
+        sel = (lax.broadcasted_iota(jnp.int32, (_H_PAD, kg), 0) // n_head
+               == lax.broadcasted_iota(jnp.int32, (_H_PAD, kg), 1)
+               ).astype(jnp.bfloat16)
+        qstack = jnp.dot(sel, q_ref[0].astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        seg_q = segstack * qstack.astype(jnp.bfloat16)    # (HP, S) bf16
+
+        kq = kq_ref[0, 0].astype(jnp.bfloat16)            # (BC, S) exact
+        v = vq_ref[0, 0].astype(jnp.bfloat16)             # exact int8
+        s_t = lax.dot_general(
+            seg_q, kq, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # (HP, BC)
+        # head-select of the per-(slot, head) K scales -> (HP, BC)
+        e_h = (lax.broadcasted_iota(jnp.int32, (_H_PAD, _H_PAD), 1)
+               == lax.broadcasted_iota(jnp.int32, (_H_PAD, _H_PAD), 0)
+               % n_head).astype(jnp.float32)
+        ks_t = lax.dot_general(
+            e_h, ks_ref[0, 0].astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)           # (HP, BC)
+        s_t = s_t * ks_t
+
+        lo_col = _dot32(sel.astype(jnp.float32),
+                        lo_ref[0].astype(jnp.float32))    # (HP, 1)
+        slot = (c * blk_c
+                + lax.broadcasted_iota(jnp.int32, (_H_PAD, bc), 1)
+                ).astype(jnp.float32)
+        s_t = jnp.where(slot < lo_col, s_t, _NEG_INF)
+
+        m_cur = jnp.max(s_t, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_ref[:, :1], m_cur)
+        # (HP, 1) lane broadcasts are exact vector ops in Mosaic (see
+        # decode_attention packed kernel)
+        p_t = jnp.exp(s_t - m_new)
+        corr = jnp.exp(m_ref[:, :1] - m_new)
+        l_ref[:, :1] = (l_ref[:, :1] * corr
+                        + jnp.sum(p_t, axis=1, keepdims=True))
+        m_ref[:, :1] = m_new
+        acc_ref[:] = (acc_ref[:] * corr
+                      + lax.dot_general(
+                          p_t.astype(jnp.bfloat16), v,
+                          (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32))
+
+    @pl.when(c == n_blocks_max - 1)
+    def _():
+        segt_f = _seg_t(s_dim, n_head).astype(jnp.float32)
+        vs_row = jnp.dot(vs_ref[0, 0].astype(jnp.float32), segt_f,
+                         preferred_element_type=jnp.float32)  # (1, S)
+        lv = jnp.maximum(l_ref[:, :1], 1e-30)             # (HP, 1)
+        r_s = lax.broadcasted_iota(jnp.int32, (_H_PAD, s_dim), 0)
+        lane_h = lax.broadcasted_iota(jnp.int32, (_H_PAD, s_dim), 1) // d
+        rows = []
+        for b_ in range(kg):
+            e_b = (r_s == b_ * n_head + lane_h).astype(jnp.float32)
+            z_b = jnp.sum(acc_ref[:] * e_b, axis=0, keepdims=True)
+            d_b = jnp.sum(lv * e_b, axis=0, keepdims=True)
+            rows.append(z_b / jnp.maximum(d_b, 1e-30) * vs_row)
+        o_ref[0] = jnp.concatenate(rows, axis=0).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "kv_group",
+                                             "interpret"))
+def _xattn_q_tpu(q, k_q, k_s, v_q, v_s, lo, scal, *, n_head: int,
+                 kv_group: int = 1, interpret: bool = False):
     b, s = q.shape
-    c_pad = k_q.shape[1]
+    c_pad = k_q.shape[2]
     nc = c_pad // _BLOCK_C
-    bt = _pick_bt(b, s, 1)
-    kernel = functools.partial(
-        _xattn_q_kernel, n_blocks_max=nc, bt=bt,
-        scale=float(1.0 / ((s // n_head) ** 0.5)))
+    blk_c = _BLOCK_C
 
-    def kv_map(b_i, c_i, hi_ref):
-        n_active = jnp.maximum(pl.cdiv(hi_ref[0], _BLOCK_C), 1)
-        return (b_i, jnp.minimum(c_i, n_active - 1), 0)
+    def kv_map(b_i, c_i, scal_ref):
+        n_active = jnp.maximum(pl.cdiv(scal_ref[0], blk_c), 1)
+        return (scal_ref[1], b_i, jnp.minimum(c_i, n_active - 1), 0)
 
-    def row_map(b_i, c_i, hi_ref):
+    def row_map(b_i, c_i, scal_ref):
         return (b_i, 0, 0)
 
+    def vs_map(b_i, c_i, scal_ref):
+        return (scal_ref[1], b_i, 0, 0)
+
+    if kv_group > 1:
+        # beam groups share one int8 K/V row: grid (G, NC), q/lo/out
+        # blocked (1, K, ...) per group (see decode_attention)
+        g = b // kv_group
+        bt = kv_group
+        packed = kv_group * n_head <= _H_PAD
+        if packed and c_pad % 512 == 0:
+            blk_c = 512
+            nc = c_pad // blk_c
+        if packed:
+            kernel = functools.partial(
+                _xattn_q_group_packed_kernel, n_blocks_max=nc, kg=bt,
+                n_head=n_head, blk_c=blk_c,
+                scale=float(1.0 / ((s // n_head) ** 0.5)))
+            scratch = [
+                pltpu.VMEM((_H_PAD, s), jnp.float32),
+                pltpu.VMEM((_H_PAD, _H_PAD), jnp.float32),
+                pltpu.VMEM((_H_PAD, _H_PAD), jnp.float32),
+            ]
+        else:
+            kernel = functools.partial(
+                _xattn_q_kernel, n_blocks_max=nc, bt=bt, n_head=n_head,
+                scale=float(1.0 / ((s // n_head) ** 0.5)),
+                shared_kv=True)
+            scratch = [
+                pltpu.VMEM((bt, s), jnp.float32),
+                pltpu.VMEM((bt, _H_PAD), jnp.float32),
+                pltpu.VMEM((bt, _H_PAD), jnp.float32),
+            ]
+
+        def grow_map(b_i, c_i, scal_ref):
+            return (b_i, 0, 0)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,   # scal (2,) = [hi, layer]
+            grid=(g, nc),
+            in_specs=[
+                pl.BlockSpec((1, bt, 1), grow_map),      # lo (G, K, 1)
+                pl.BlockSpec((1, bt, s), grow_map),      # q  (G, K, S)
+                pl.BlockSpec((1, 1, blk_c, s), kv_map),
+                pl.BlockSpec((1, 1, blk_c, _H_PAD), kv_map),
+                pl.BlockSpec((1, 1, blk_c, s), kv_map),
+                pl.BlockSpec((1, 1, 1, _H_PAD), vs_map),
+            ],
+            out_specs=pl.BlockSpec((1, bt, s), grow_map),
+            scratch_shapes=scratch,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((g, bt, s), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * c_pad * s,
+                bytes_accessed=g * c_pad * (2 * s + 2 * _H_PAD),
+                transcendentals=b * c_pad * _H_PAD),
+            interpret=interpret,
+        )(scal, lo.reshape(g, bt, 1), q.reshape(g, bt, s), k_q, k_s,
+          v_q, v_s[:, :, None])
+        return out.reshape(b, s)
+
+    bt = _pick_bt(b, s, 1)
+    kernel = functools.partial(
+        _xattn_q_kernel, n_blocks_max=nc, bt=bt, n_head=n_head,
+        scale=float(1.0 / ((s // n_head) ** 0.5)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,       # hi (1,)
+        num_scalar_prefetch=1,       # scal (2,) = [hi, layer]
         grid=(b // bt, nc),
         in_specs=[
-            pl.BlockSpec((bt, 1, 1), row_map),        # lo (B, 1, 1)
-            pl.BlockSpec((bt, 1, s), row_map),        # q  (B, 1, S)
-            pl.BlockSpec((bt, _BLOCK_C, s), kv_map),
-            pl.BlockSpec((bt, _BLOCK_C, _H_PAD), kv_map),
-            pl.BlockSpec((bt, _BLOCK_C, s), kv_map),
-            pl.BlockSpec((bt, 1, _H_PAD), row_map),   # v_s (B, 1, HP)
-            pl.BlockSpec((_H_PAD, s), lambda b_i, c_i, hi: (0, 0)),
+            pl.BlockSpec((bt, 1, 1), row_map),           # lo (B, 1, 1)
+            pl.BlockSpec((bt, 1, s), row_map),           # q  (B, 1, S)
+            pl.BlockSpec((1, bt, _BLOCK_C, s), kv_map),
+            pl.BlockSpec((1, bt, _BLOCK_C, _H_PAD), kv_map),
+            pl.BlockSpec((1, bt, _BLOCK_C, s), kv_map),
+            pl.BlockSpec((1, bt, 1, _H_PAD), vs_map),    # v_s
         ],
         out_specs=pl.BlockSpec((bt, 1, s), row_map),
         scratch_shapes=[
@@ -151,35 +324,49 @@ def _xattn_q_tpu(q, k_q, k_s, v_q, v_s, lo, hi, seg, *, n_head: int,
             bytes_accessed=b * c_pad * (2 * s + 2 * _H_PAD),
             transcendentals=b * c_pad * _H_PAD),
         interpret=interpret,
-    )(hi, lo[:, None, None], q[:, None], k_q, k_s, v_q, v_s[:, None],
-      seg)
+    )(scal, lo[:, None, None], q[:, None], k_q, k_s, v_q,
+      v_s[:, :, None])
     return out[:, 0]
 
 
 def cross_attention_quant(q: jax.Array, k_q: jax.Array, k_s: jax.Array,
                           v_q: jax.Array, v_s: jax.Array, *,
                           n_head: int, t_valid: jax.Array,
+                          kv_group: int = 1, layer=None,
                           interpret: bool = False) -> jax.Array:
     """Single-query cross attention against int8 merged-head KV.
 
-    q: (B, S); k_q/v_q: (B, T_pad, S) int8; k_s: (B, T_pad, 128) bf16;
-    v_s: (B, 128) f32; t_valid: (B,) i32 valid audio positions.
+    q: (B, S); k_q/v_q: (B // kv_group, T_pad, S) int8 — or the stacked
+    (L, B // kv_group, T_pad, S) with ``layer`` a traced i32 scalar (see
+    decode_attention); k_s: (.., T_pad, 128) bf16; v_s: (.., 128) f32;
+    t_valid: (B,) i32 valid audio positions.  ``kv_group > 1``:
+    consecutive groups of kv_group query rows (beams of one stream)
+    share a single K/V row — no materialized repeat.
     Returns (B, S) float32.  Pallas in-VMEM dequant on TPU; float dequant
     + the shared jnp fallback elsewhere (same f32 math).
     """
     b, s = q.shape
-    t_pad = k_q.shape[1]
+    if k_q.ndim == 3:
+        k_q, k_s, v_q = k_q[None], k_s[None], v_q[None]
+        v_s = v_s[None]
+        layer = jnp.int32(0) if layer is None else layer
+    t_pad = k_q.shape[2]
     lo = jnp.asarray(t_valid, jnp.int32).reshape(b)
     if not (use_pallas() or interpret):
         d = s // n_head
-        kf = (k_q.astype(jnp.float32).reshape(b, t_pad, n_head, d)
-              * k_s[..., :n_head].astype(jnp.float32)[..., None]
-              ).reshape(b, t_pad, s)
-        vf = (v_q.astype(jnp.float32).reshape(b, t_pad, n_head, d)
-              * v_s[:, None, :n_head, None]).reshape(b, t_pad, s)
-        return _fallback(q, kf, vf, lo, jnp.int32(0), t_pad, n_head)
+        li = layer if k_q.shape[0] != 1 else 0
+        kql, ksl, vql, vsl = k_q[li], k_s[li], v_q[li], v_s[li]
+        bk = kql.shape[0]
+        kf = (kql.astype(jnp.float32).reshape(bk, t_pad, n_head, d)
+              * ksl[..., :n_head].astype(jnp.float32)[..., None]
+              ).reshape(bk, t_pad, s)
+        vf = (vql.astype(jnp.float32).reshape(bk, t_pad, n_head, d)
+              * vsl[:, None, :n_head, None]).reshape(bk, t_pad, s)
+        return _fallback(q, kf, vf, lo, jnp.int32(0), t_pad, n_head,
+                         kv_group=kv_group)
     interpret = interpret or os.environ.get("GWT_PALLAS_INTERPRET") == "1"
-    seg = jnp.asarray(_segment_matrix(s, n_head))
-    hi = jnp.max(lo).reshape(1)   # block-skip bound (uniform)
-    return _xattn_q_tpu(q, k_q, k_s, v_q, v_s, lo, hi, seg,
-                        n_head=n_head, interpret=interpret)
+    hi = jnp.max(lo).reshape(())   # block-skip bound (uniform)
+    scal = jnp.stack([hi, jnp.asarray(layer, jnp.int32).reshape(())])
+    return _xattn_q_tpu(q, k_q, k_s, v_q, v_s, lo, scal,
+                        n_head=n_head, kv_group=kv_group,
+                        interpret=interpret)

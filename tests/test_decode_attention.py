@@ -127,3 +127,40 @@ def test_kernel_grouped_kv():
                            kv_group=kgrp, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_kernel_4d_layer_scalar():
+    """Whole-(L, B, C, S) operands with a traced layer scalar must match
+    the per-layer fallback at every layer (the layer-scan read path —
+    no per-layer slice is ever materialized on TPU)."""
+    rng = np.random.default_rng(5)
+    l, b, c, s, n_head, split = 3, 2, 256, 384, 6, 64
+    k = jnp.asarray(rng.standard_normal((l, b, c, s)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((l, b, c, s)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((b, s)).astype(np.float32))
+    lo = jnp.asarray([5, 30], jnp.int32)
+    hi = jnp.int32(100)
+    for li in range(l):
+        want = _fallback(q, k[li], v[li], lo, hi, split, n_head)
+        got = decode_attention(q, k, v, lo, hi, split=split,
+                               n_head=n_head, layer=jnp.int32(li),
+                               interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)
+
+
+def test_kernel_grouped_wide_falls_back_to_unrolled():
+    """kv_group * n_head > 128 (e.g. large-v3 beam-8) uses the unrolled
+    shared-KV branch; results still match the fallback."""
+    rng = np.random.default_rng(6)
+    g, kgrp, c, s, n_head = 1, 8, 256, 1280, 20
+    b = g * kgrp
+    q = jnp.asarray(rng.standard_normal((b, s)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((g, c, s)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((g, c, s)).astype(np.float32))
+    lo = jnp.full((b,), 200, jnp.int32)
+    want = _fallback(q, k, v, lo, jnp.int32(0), c, n_head, kv_group=kgrp)
+    got = decode_attention(q, k, v, lo, jnp.int32(0), split=c,
+                           n_head=n_head, kv_group=kgrp, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
