@@ -15,8 +15,23 @@ Baseline: BASELINE.json's north-star of 50x realtime tiny.en per chip
 unspecified desktop, README.md:57 — no portable RTF figure exists, so
 the north-star target is the denominator).
 
+Also reported (VERDICT r3 asks #3/#6):
+- ``device_decode_rtf``: audio-seconds per second of DEVICE decode time
+  (the Timings.t_decode_us bucket — wall time around the device decode
+  dispatches, excluding mel compute and host segment emission) so chip
+  throughput and relay/link ceiling are separable;
+- ``oneshot_11s_ms``: time-to-transcript for an 11 s jfk-length clip
+  with the dynamic audio_ctx of the reference's streaming layer
+  (capture_stream_to_text.gd:84) — the analogue of the reference's
+  "~0.3 s one-shot tiny.en" headline (README.md:57);
+- ``stream_tick_p50_ms``/``p95``: per-interval latency of 0.3 s
+  streaming ticks over a 15 s utterance — what
+  capture_stream_to_text.gd:107,117 prints against transcribe_interval.
+
 Env knobs: BENCH_MODEL, BENCH_AUDIO_SECONDS, BENCH_QUANTIZE (int8/int4),
-BENCH_LARGE=0, BENCH_BATCHES (comma list, default "8,16,32").
+BENCH_LARGE=0, BENCH_BATCHES (comma list, default "8,16,32,64").
+The int8 mel wire engages automatically on slow links (audio/mel.py);
+an explicit f16-wire batch entry isolates its effect.
 """
 
 from __future__ import annotations
@@ -106,6 +121,48 @@ def _batch_throughput(ctx, tp, nb: int, audio_seconds: float,
     return max(one_pass() for _ in range(reps))
 
 
+def _oneshot_latency_ms(ctx, gwt, n=5) -> float:
+    """Time-to-transcript for an 11 s clip (jfk.wav length) with the
+    reference streaming layer's dynamic audio_ctx
+    (capture_stream_to_text.gd:84: total*1500/30 + 128)."""
+    audio = _make_audio(11.0)
+    audio_ctx = int(11.0 * 1500 / 30) + 128
+    tp = gwt.TranscribeParams(best_of=1, temperature_inc=0.0,
+                              audio_ctx=audio_ctx, single_segment=True,
+                              print_progress=False)
+    ctx.full(tp, audio)  # warmup/compile
+    best = None
+    for _ in range(n):
+        t0 = time.perf_counter()
+        ctx.full(tp, audio)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best * 1000.0
+
+
+def _stream_tick_ms(ctx, gwt):
+    """Per-interval latency of 0.3 s streaming ticks over a 15 s
+    utterance (the number capture_stream_to_text.gd:107,117 prints)."""
+    from godot_whisper_tpu.runtime.streaming import (StreamingConfig,
+                                                     StreamingTranscriber)
+    audio = _make_audio(15.0)
+    cfg = StreamingConfig(transcribe_interval=0.3)
+    st = StreamingTranscriber(ctx, cfg)
+    ticks = []
+    step = int(0.3 * 16000)
+    for rep in range(2):          # rep 0 warms the compile caches
+        st2 = st if rep == 0 else StreamingTranscriber(ctx, cfg)
+        for i in range(0, len(audio), step):
+            st2.push_audio(audio[i:i + step])
+            t0 = time.perf_counter()
+            st2.process_once()
+            if rep == 1:
+                ticks.append((time.perf_counter() - t0) * 1000.0)
+    ticks.sort()
+    return (ticks[len(ticks) // 2],
+            ticks[min(int(len(ticks) * 0.95), len(ticks) - 1)])
+
+
 def main() -> None:
     import godot_whisper_tpu as gwt
     from godot_whisper_tpu.runtime.cache import enable_compilation_cache
@@ -116,12 +173,26 @@ def main() -> None:
     audio_seconds = float(os.environ.get("BENCH_AUDIO_SECONDS", "120"))
     quantize = os.environ.get("BENCH_QUANTIZE") or None
     batch_sizes = [int(x) for x in os.environ.get(
-        "BENCH_BATCHES", "8,16,32").split(",") if x]
+        "BENCH_BATCHES", "8,16,32,64").split(",") if x]
 
     ctx = _load_ctx(model, quantize)
     tp = gwt.TranscribeParams(best_of=1, temperature_inc=0.0,
                               print_progress=False)
     audio = _make_audio(audio_seconds)
+
+    def link_mbps():
+        """Fresh link-speed sample (the tunneled relay's bandwidth
+        swings run to run — a collapse mid-bench once tanked two
+        sections ~8x; these fields make that visible in the artifact)."""
+        import time as _t
+        import jax
+        import jax.numpy as jnp
+        buf = np.zeros(1 << 20, np.float16)
+        t0 = _t.perf_counter()
+        d = jax.device_put(buf)
+        _ = float(jnp.sum(d.astype(jnp.float32).ravel()[:2]))
+        return round(buf.nbytes / max(_t.perf_counter() - t0, 1e-9)
+                     / 1e6, 1)
 
     out = {
         "metric": f"{model} greedy e2e RTF (audio-seconds/s/chip)",
@@ -129,6 +200,28 @@ def main() -> None:
         "unit": "audio_s/s",
     }
     out["vs_baseline"] = round(out["value"] / 50.0, 3)
+    out["link_mbps_start"] = link_mbps()
+
+    # DEVICE decode time of one run, separated from wall time (relay
+    # upload + host mel excluded) — chip vs link attribution
+    try:
+        ctx.reset_timings()
+        ctx.full(tp, audio)
+        dev_us = ctx.timings.t_decode_us + ctx.timings.t_encode_us
+        if dev_us > 0:
+            out["device_decode_rtf"] = round(
+                audio_seconds / (dev_us / 1e6), 2)
+    except Exception as e:  # pragma: no cover
+        out["device_decode_error"] = str(e)[:120]
+
+    # one-shot + streaming latency (reference headline analogues)
+    try:
+        out["oneshot_11s_ms"] = round(_oneshot_latency_ms(ctx, gwt), 1)
+        p50, p95 = _stream_tick_ms(ctx, gwt)
+        out["stream_tick_p50_ms"] = round(p50, 1)
+        out["stream_tick_p95_ms"] = round(p95, 1)
+    except Exception as e:  # pragma: no cover
+        out["latency_error"] = str(e)[:200]
 
     for nb in batch_sizes:
         try:
@@ -137,16 +230,16 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             out[f"batch{nb}_throughput_audio_s_per_s"] = f"error: {e}"
 
-    # int8 mel wire (GWT_MEL_WIRE=int8, opt-in): halves the dominant
-    # host->device transfer of the batched serving path on slow links
-    if os.environ.get("BENCH_MEL_INT8", "1") == "1":
+    # wire-format A/B: the int8 mel wire ENGAGES AUTOMATICALLY on links
+    # probed < 50 MB/s (audio/mel.py) — this run isolates its effect by
+    # forcing the f16 wire at batch 16
+    if os.environ.get("BENCH_MEL_WIRE_AB", "1") == "1":
         try:
-            os.environ["GWT_MEL_WIRE"] = "int8"
-            nb = max(batch_sizes) if batch_sizes else 32
-            out[f"int8_mel_batch{nb}_throughput_audio_s_per_s"] = round(
-                _batch_throughput(ctx, tp, nb, audio_seconds), 1)
+            os.environ["GWT_MEL_WIRE"] = "f16"
+            out["f16_wire_batch16_throughput_audio_s_per_s"] = round(
+                _batch_throughput(ctx, tp, 16, audio_seconds), 1)
         except Exception as e:  # pragma: no cover
-            out["int8_mel_error"] = str(e)[:200]
+            out["f16_wire_error"] = str(e)[:200]
         finally:
             os.environ.pop("GWT_MEL_WIRE", None)
 
@@ -190,6 +283,7 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             out["large_v3_error"] = str(e)[:200]
 
+    out["link_mbps_end"] = link_mbps()
     print(json.dumps(out))
 
 

@@ -203,14 +203,23 @@ def _upcast_mel(m_f16: jax.Array) -> jax.Array:
 
 
 def _mel_wire_int8() -> bool:
-    """Opt-in int8 wire format for host-computed mel (GWT_MEL_WIRE=int8):
-    normalized mel spans EXACTLY 2.0 units (the max-8 clamp maps to
-    [(mmax-4)/4, (mmax+4)/4]), so a per-clip affine uint8 encoding has
-    2/255 = 0.008 granularity — half the f16 bytes again.  Off by
-    default: without real-weight WER evidence the f16 wire (which is
-    precision-equivalent to the reference's f16 storage) stays the
-    default."""
-    return os.environ.get("GWT_MEL_WIRE") == "int8"
+    """int8 wire format for host-computed mel: normalized mel spans
+    EXACTLY 2.0 units (the max-8 clamp maps to [(mmax-4)/4, (mmax+4)/4]),
+    so a per-clip affine uint8 encoding has 2/255 = 0.008 granularity —
+    half the f16 bytes again.
+
+    ENGAGED AUTOMATICALLY on links probed slower than ~50 MB/s (where
+    the wire is the batched-throughput ceiling: BENCH_r03 measured the
+    f16 wire saturating a ~29 MB/s relay at ~1172 audio-s/s while the
+    int8 wire reached 1451).  GWT_MEL_WIRE=int8 forces it on,
+    GWT_MEL_WIRE=f16 forces it off (f16 is precision-equivalent to the
+    reference's f16 mel storage; int8's 0.008 step is ~1% of a typical
+    mel dynamic range — revisit against real-weight WER when checkpoints
+    are available)."""
+    v = os.environ.get("GWT_MEL_WIRE")
+    if v is not None:
+        return v == "int8"
+    return MelFrontend._host_mel() and MelFrontend._link_bw() < 50e6
 
 
 def _encode_mel_u8(m_norm: np.ndarray):
@@ -344,32 +353,37 @@ class MelFrontend:
 
     @staticmethod
     @functools.lru_cache(maxsize=1)
+    def _link_bw() -> float:
+        """Host->device link bandwidth, probed ONCE with a 2 MB
+        transfer (bytes/s; inf when probing is impossible)."""
+        import time
+        try:
+            if jax.devices()[0].platform not in ("tpu", "axon"):
+                return float("inf")
+            buf = np.zeros(1 << 20, np.float16)  # 2 MB
+            jax.block_until_ready(jax.device_put(buf))  # warm the path
+            t0 = time.perf_counter()
+            d = jax.device_put(buf)
+            _ = float(jnp.sum(d.astype(jnp.float32).ravel()[:2]))
+            return buf.nbytes / max(time.perf_counter() - t0, 1e-9)
+        except Exception:  # pragma: no cover
+            return float("inf")
+
+    @staticmethod
+    @functools.lru_cache(maxsize=1)
     def _host_mel() -> bool:
         """Compute mel on host + ship f16 frames instead of audio.
 
         Default ON for slow host->device links (relay-tunneled runtimes
         measure ~29 MB/s; mel is half the bytes of the audio it encodes),
         OFF for locally-attached accelerators (PCIe uploads audio faster
-        than a host CPU computes mel).  The link speed is probed ONCE
-        with a 2 MB transfer; force with GWT_HOST_MEL=0/1.
+        than a host CPU computes mel).  Force with GWT_HOST_MEL=0/1.
         """
         import os
-        import time
         v = os.environ.get("GWT_HOST_MEL")
         if v is not None:
             return v == "1"
-        try:
-            if jax.devices()[0].platform not in ("tpu", "axon"):
-                return False
-            buf = np.zeros(1 << 20, np.float16)  # 2 MB
-            jax.block_until_ready(jax.device_put(buf))  # warm the path
-            t0 = time.perf_counter()
-            d = jax.device_put(buf)
-            _ = float(jnp.sum(d.astype(jnp.float32).ravel()[:2]))
-            bw = buf.nbytes / max(time.perf_counter() - t0, 1e-9)
-            return bw < 200e6
-        except Exception:  # pragma: no cover
-            return False
+        return MelFrontend._link_bw() < 200e6
 
     def _filt256(self):
         if self._filt256_cache is None:

@@ -129,11 +129,27 @@ def use_pallas() -> bool:
             and os.environ.get("GWT_DISABLE_PALLAS") != "1")
 
 
+# flash-vs-einsum crossover in total (batch * heads) rows, from the
+# committed on-chip sweep (KERNELS_r04.json): einsum wins up to BH = 12
+# (tiny/base/small single-stream: 50-107 us vs flash 65-129), the flash
+# kernel wins from BH = 20 up (large-v3 b1: 220 vs 552 us; tiny b8: 519
+# vs 1318; large-v3 b8: 1831 vs 4432 — XLA's materialized-scores path
+# collapses to ~22 TFLOPS once the score tensor spills).  Override with
+# GWT_ENC_ATTN=flash|einsum.
+_FLASH_MIN_BH = 16
+
+
+def _enc_attn_mode() -> str:
+    return os.environ.get("GWT_ENC_ATTN", "auto")
+
+
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Dense MHA over (B, T, H, Dh) tensors; returns the same shape.
 
-    Pads T up to a 512-multiple for the TPU kernel (masked tail); einsum
-    fallback elsewhere.
+    Shape-aware dispatch (see _FLASH_MIN_BH): small single-stream
+    encoders take the XLA einsum, everything larger takes the Pallas
+    flash kernel.  Pads T up to a 512-multiple for the kernel (masked
+    tail); einsum always off-TPU.
     """
     b, t, h, d = q.shape
     scale = float(1.0 / (d ** 0.5))
@@ -144,7 +160,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     def from_bh(x, tt):
         return x.reshape(b, h, tt, d).transpose(0, 2, 1, 3)
 
-    if not use_pallas():
+    mode = _enc_attn_mode()
+    use_flash = use_pallas() and (
+        mode == "flash" or (mode != "einsum" and b * h >= _FLASH_MIN_BH))
+    if not use_flash:
         return from_bh(_einsum_attention(to_bh(q), to_bh(k), to_bh(v),
                                          scale), t)
 

@@ -148,29 +148,47 @@ def dequantize4(qt: Quant4Tensor) -> jax.Array:
     return w.reshape(*lead, 2 * S2, O)
 
 
-def _q4mm_kernel(x_ref, w_ref, s_ref, o_ref):
-    """One (row-block, col-block, group) program: split nibbles + rebias
-    in VMEM, contract the G-row slab on the MXU (G=128 fills the systolic
-    array's K dimension), scale, accumulate into the revisited output
-    block.  The group loop rides the (innermost) grid dimension — Mosaic
-    cannot lower value-level dynamic slices inside an in-kernel loop, and
-    grid-level accumulation double-buffers the weight DMAs for free."""
+def _q4mm_kernel(x_ref, w_ref, s_ref, o_ref, *, gm: int, group: int):
+    """One (row-block, col-block, group-slab) program: split nibbles +
+    rebias in VMEM, contract each G-row slab on the MXU (G=128 fills the
+    systolic array's K dimension), scale, accumulate.
+
+    ``gm`` groups ride in ONE weight block: a one-group-per-program
+    version measured 85 GB/s — 32 KB weight DMAs are latency-bound —
+    while merging the groups into ~1 MB blocks with an unrolled
+    static-slice loop reaches 364 GB/s (KERNELS_r04.json), now ahead of
+    the int8 path per byte.  Any remaining slabs accumulate over the
+    innermost grid dimension into the revisited output block."""
     g = pl.program_id(2)
-    wp = w_ref[...].astype(jnp.int32)
-    w = jnp.concatenate([wp & 0xF, wp >> 4], axis=0) - 8    # (G, BO)
-    x = x_ref[...]
-    p = lax.dot_general(x, w.astype(x.dtype),
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-    p = p * s_ref[0]                                        # (1, BO) bcast
+    acc = None
+    for gi in range(gm):
+        xg = x_ref[:, gi * group:(gi + 1) * group]
+        wp = w_ref[gi * (group // 2):(gi + 1) * (group // 2)
+                   ].astype(jnp.int32)
+        w = jnp.concatenate([wp & 0xF, wp >> 4], axis=0) - 8  # (G, BO)
+        p = lax.dot_general(xg, w.astype(xg.dtype),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        p = p * s_ref[0, gi]                                # (BO,) bcast
+        acc = p if acc is None else acc + p
 
     @pl.when(g == 0)
     def _init():
-        o_ref[...] = p
+        o_ref[...] = acc
 
     @pl.when(g > 0)
     def _acc():
-        o_ref[...] += p
+        o_ref[...] += acc
+
+
+def _pick_gm(n_g: int, group: int, bo: int) -> int:
+    """Largest divisor of n_g keeping the packed weight block ~<=1.5 MB."""
+    cap = max((3 << 19) // ((group // 2) * bo), 1)
+    gm = 1
+    for d in range(1, n_g + 1):
+        if n_g % d == 0 and d <= cap:
+            gm = d
+    return gm
 
 
 @functools.partial(jax.jit, static_argnames=("group", "interpret"))
@@ -181,19 +199,20 @@ def _q4mm_2d(x: jax.Array, q: jax.Array, s: jax.Array, *, group: int,
     n_g = S // group
     BO = _pick_bo(S // 2, O)
     BB = _pick_bb(B)
-    grid = (pl.cdiv(B, BB), pl.cdiv(O, BO), n_g)
+    gm = _pick_gm(n_g, group, BO)
+    grid = (pl.cdiv(B, BB), pl.cdiv(O, BO), n_g // gm)
     return pl.pallas_call(
-        _q4mm_kernel,
+        functools.partial(_q4mm_kernel, gm=gm, group=group),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BB, group), lambda i, j, g: (i, g),
+            pl.BlockSpec((BB, group * gm), lambda i, j, g: (i, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((group // 2, BO), lambda i, j, g: (g, j),
+            pl.BlockSpec((gm * group // 2, BO), lambda i, j, g: (g, j),
                          memory_space=pltpu.VMEM),
-            # scales ride with a singleton middle axis: a (1, BO) block
-            # over an (n_groups, O) array violates Mosaic's min-tile
-            # rule; (1, 1, BO) blocks equal the trailing dims exactly
-            pl.BlockSpec((1, 1, BO), lambda i, j, g: (g, 0, j),
+            # scales ride with a singleton leading axis reshaped to
+            # (n_g/gm, gm, O) so a (1, gm, BO) block satisfies Mosaic's
+            # min-tile rule
+            pl.BlockSpec((1, gm, BO), lambda i, j, g: (g, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BB, BO), lambda i, j, g: (i, j),
@@ -204,7 +223,7 @@ def _q4mm_2d(x: jax.Array, q: jax.Array, s: jax.Array, *, group: int,
             bytes_accessed=B * S * 2 + S * O // 2 + n_g * O * 4 + B * O * 4,
             transcendentals=0),
         interpret=interpret,
-    )(x, q, s[:, None])
+    )(x, q, s.reshape(n_g // gm, gm, O))
 
 
 def quant_matmul4(x: jax.Array, qt: Quant4Tensor, *,

@@ -66,3 +66,8 @@ def jfk_audio():
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)
+
+
+def pytest_addoption(parser):
+    parser.addoption("--golden-regen", action="store_true", default=False,
+                     help="regenerate tests/golden/ decode transcripts")
