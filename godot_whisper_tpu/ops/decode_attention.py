@@ -89,14 +89,15 @@ _BLOCK_BYTES = 3 << 19  # ~1.5 MB per K/V block target
 
 
 def force_einsum_decode_attn() -> bool:
-    """Dispatch override: GWT_DECODE_ATTN=einsum forces the einsum path.
+    """Debug override: GWT_DECODE_ATTN=einsum forces the einsum path.
 
-    STANDALONE microbenches (KERNELS_r03.json) show the einsum matching
-    or beating the kernel at tiny widths — but inside the full
-    device-resident clip loop the einsum formulation regressed batched
-    throughput ~2x (the round-2 nesting penalty: XLA restructures the
-    attention einsums inside the nested while loops), so the kernel is
-    the default everywhere on TPU."""
+    The kernel is the architectural default on TPU since the round-4
+    carry-resident cache design: the decode loop carries the full
+    (L, B, C, S) caches and the kernel reads the current layer through
+    its index maps, while the einsum formulation must materialize a
+    per-layer dynamic-slice COPY of the cache every step (the very copy
+    the design removed — measured ~125 MB/step at beam-5/batch-8).
+    Useful only for numerics cross-checks."""
     return os.environ.get("GWT_DECODE_ATTN") == "einsum"
 
 
