@@ -268,6 +268,9 @@ def main() -> None:
             out["beam5_batch8_throughput_audio_s_per_s"] = round(
                 _batch_throughput(ctx, tpb, 8, audio_seconds,
                                   n_batches=2), 1)
+            out["beam5_batch16_throughput_audio_s_per_s"] = round(
+                _batch_throughput(ctx, tpb, 16, audio_seconds,
+                                  n_batches=2), 1)
         except Exception as e:  # pragma: no cover
             out["beam5_error"] = str(e)[:200]
 
@@ -280,6 +283,12 @@ def main() -> None:
             out["large_v3_batch8_throughput_audio_s_per_s"] = round(
                 _batch_throughput(lctx, tp, 8, min(audio_seconds, 60.0),
                                   n_batches=2), 1)
+            # int8 decoder weights: large-v3 decode is bound by the
+            # ~1.8 GB/step bf16 weight read; int8 halves it
+            del lctx
+            lqctx = _load_ctx("large-v3", "int8", on_device=True)
+            out["large_v3_int8_single_rtf"] = round(
+                _single_rtf(lqctx, tp, laudio, n=2), 2)
         except Exception as e:  # pragma: no cover
             out["large_v3_error"] = str(e)[:200]
 
