@@ -42,7 +42,8 @@ from jax import lax
 from ..models.config import WhisperConfig
 from ..models.model import (CrossKV, KVCache, QuantCrossKV,
                             param_compute_dtype, decoder_dense,
-                            decoder_step, init_kv_cache, reorder_kv_cache)
+                            decoder_step, init_kv_cache,
+                            reorder_kv_cache, round_cache_len)
 from ..ops.attention import use_pallas
 from ..ops.kv_reorder import reorder_kv_live
 from ..ops.filter_sample import fused_filter_sample
@@ -134,6 +135,14 @@ class WindowStatics:
     # beams of one stream) share a single cross-KV row — the batched clip
     # loop's beam/best_of mode passes xkv with B // kv_group rows
     kv_group: int = 1
+
+
+def use_split_cache(statics: WindowStatics) -> bool:
+    """Beam decode stores prompt KV once per group and live KV per beam
+    (ops/split_attention.py) when the packed-lane kernel fits; wider
+    configs keep the single-cache path."""
+    return (statics.strategy == "beam"
+            and statics.beam_size * statics.config.n_text_head <= 128)
 
 
 def _sample_greedy(st: LoopState, statics: WindowStatics, fctx: FilterContext,
@@ -235,16 +244,18 @@ def _sample_beam(st: LoopState, statics: WindowStatics, fctx: FilterContext):
 
     # gather candidate-carried state from source beams (whisper.cpp:5332,
     # 5397-5400): sequence, seek_delta, has_ts, result_len, token data.
-    # The KV gather is BOUNDED to the live prefix [0, split + i) — the
-    # functional analogue of the reference's zero-copy seq_cp re-tagging
+    # The KV gather is BOUNDED to the live prefix — the functional
+    # analogue of the reference's zero-copy seq_cp re-tagging
     # (whisper.cpp:5402-5418); slots beyond are dead (rewritten before
     # any read, masked in attention) so they are left unspecified
-    # instead of copied (ops/kv_reorder.py).  A ping-pong alt-buffer
-    # variant that also skips the prompt region measured SLOWER in-loop
-    # (+560 us/step): swapping buffer roles between while-loop
+    # instead of copied (ops/kv_reorder.py).  With the split cache the
+    # prompt region isn't even stored per beam, so the copy covers just
+    # the [0, i) autoregressive slots.  (A ping-pong alt-buffer variant
+    # measured SLOWER: swapping buffer roles between while-loop
     # iterations breaks XLA's stable carry-buffer assignment and it
-    # restores it with full copies.
-    hi_live = statics.prompt_pad + st.i
+    # restores it with full copies.)
+    hi_live = (st.i if use_split_cache(statics)
+               else statics.prompt_pad + st.i)
     new_k, new_v = reorder_kv_live(st.kv.k, st.kv.v, src, hi_live)
     st = st._replace(
         kv=KVCache(k=new_k, v=new_v),
@@ -417,6 +428,22 @@ def run_decode_loop(params, config: WhisperConfig, fctx: FilterContext,
                     n_tokens=zero_b, last=zero_b - 1, penult=zero_b - 1,
                     fctx=tfctx)
 
+            if use_split_cache(statics):
+                # split the prompt-pass cache: prompt slots stored ONCE
+                # per beam group (rows are identical within a group, so
+                # every K-th row suffices), live slots per beam in a
+                # fresh compact cache written at slot i
+                kb = statics.beam_size
+                cp = round_cache_len(statics.prompt_pad)
+                kv_prompt = KVCache(k=kv.k[:, ::kb, :cp],
+                                    v=kv.v[:, ::kb, :cp])
+                nl = round_cache_len(statics.n_max)
+                lshape = (kv.k.shape[0], B, nl, kv.k.shape[3])
+                kv = KVCache(k=jnp.zeros(lshape, kv.k.dtype),
+                             v=jnp.zeros(lshape, kv.v.dtype))
+            else:
+                kv_prompt = None
+
             st = LoopState(
                 i=jnp.int32(0),
                 kv=kv,
@@ -524,14 +551,18 @@ def run_decode_loop(params, config: WhisperConfig, fctx: FilterContext,
                 # ---- next-step logits for still-live decoders
                 # (whisper.cpp:5530-5608)
                 def next_probs(st: LoopState) -> LoopState:
-                    # cache slot is the batch-uniform prompt_pad + i;
-                    # the true position n_prompt + i drives pos_embed
+                    # cache slot is the batch-uniform prompt_pad + i
+                    # (just i in the split live cache); the true
+                    # position n_prompt + i drives pos_embed
+                    slot_i = (i if kv_prompt is not None
+                              else statics.prompt_pad + i)
                     logits, kv = decoder_step(
                         params, config, tokens[:, i],
                         (n_prompt + i).astype(jnp.int32), st.kv, xkv_b,
-                        lo=n_prompt, slot=statics.prompt_pad + i,
+                        lo=n_prompt, slot=slot_i,
                         split=statics.prompt_pad,
-                        kv_group=statics.kv_group)
+                        kv_group=statics.kv_group,
+                        kv_prompt=kv_prompt)
                     if statics.fused:
                         return st._replace(
                             kv=kv, probs=logits.astype(jnp.float32))

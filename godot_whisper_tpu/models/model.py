@@ -461,6 +461,15 @@ def decoder_step(
     kv_group: int = 1,        # xkv batch = B // kv_group: groups of
                               # kv_group rows (beams of one stream) share
                               # one cross-KV row
+    kv_prompt: Optional[KVCache] = None,
+                              # SPLIT-CACHE beam mode: the prompt KV
+                              # stored once per beam group, (L, G, CP, S)
+                              # with G = B // beam_size.  ``kv`` is then
+                              # the per-beam LIVE cache (L, B, NL, S),
+                              # ``slot`` the live slot (= step i, no
+                              # prompt offset) and self-attention runs
+                              # the two-source ops/split_attention.py
+                              # kernel.  ``split`` is ignored.
 ) -> Tuple[jax.Array, KVCache]:
     """THE autoregressive hot step: one token per row, fused decode
     attention, one uniform-slot cache write per layer.
@@ -482,6 +491,7 @@ def decoder_step(
     """
     from ..ops.decode_attention import decode_attention
     from ..ops.cross_attention import cross_attention_quant
+    from ..ops.split_attention import split_beam_attention
 
     dec = params["decoder"]
     n_head = config.n_text_head
@@ -493,6 +503,8 @@ def decoder_step(
     slot = jnp.asarray(slot, jnp.int32)
     hi = slot + 1
     cross_lo = jnp.broadcast_to(xkv.t_valid, (B,)).astype(jnp.int32)
+    beam_group = (B // kv_prompt.k.shape[1]
+                  if kv_prompt is not None else 1)
 
     x = _embed(dec, token, pos, cdtype)                       # (B, S)
     n_layer = config.n_text_layer
@@ -515,8 +527,14 @@ def decoder_step(
             kv_v, v_new[None, :, None, :].astype(kv_v.dtype),
             (l_idx, zero, slot, zero))
 
-        o = decode_attention(q, kv_k, kv_v, lo, hi,
-                             split=split, n_head=n_head, layer=l_idx)
+        if kv_prompt is not None:
+            o = split_beam_attention(
+                q, kv_prompt.k, kv_prompt.v, kv_k, kv_v, lo, hi,
+                n_head=n_head, kv_group=beam_group, layer=l_idx)
+        else:
+            o = decode_attention(q, kv_k, kv_v, lo, hi,
+                                 split=split, n_head=n_head,
+                                 layer=l_idx)
         x = x + _proj(o.astype(cdtype), attn["wo"], attn["bo"],
                       out_dtype=cdtype)
 
