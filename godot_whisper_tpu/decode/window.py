@@ -43,7 +43,7 @@ from ..models.config import WhisperConfig
 from ..models.model import (CrossKV, KVCache, QuantCrossKV,
                             param_compute_dtype, decoder_dense,
                             decoder_step, init_kv_cache,
-                            reorder_kv_cache, round_cache_len)
+                            round_cache_len)
 from ..ops.attention import use_pallas
 from ..ops.kv_reorder import reorder_kv_live
 from ..ops.filter_sample import fused_filter_sample
