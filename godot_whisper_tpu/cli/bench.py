@@ -298,6 +298,31 @@ def bench_kernels() -> None:
     emit_dattn("decode_attn beam5 grouped (B=40,grp=5,C=1536,S=384)",
                40, 1536, 384, 6, grp=5)
 
+    # ---- split prompt/live beam self-attention (the r4 beam cache)
+    from godot_whisper_tpu.ops.split_attention import split_beam_attention
+    Ls, Gs, Ks, CPs, NLs, Ss = 4, 8, 5, 256, 256, 384
+    Bs = Gs * Ks
+    kp_ = jnp.asarray(rng.standard_normal(
+        (Ls, Gs, CPs, Ss)).astype(np.float32)).astype(jnp.bfloat16)
+    vp_ = kp_ + 0.1
+    kl_ = jnp.asarray(rng.standard_normal(
+        (Ls, Bs, NLs, Ss)).astype(np.float32)).astype(jnp.bfloat16)
+    vl_ = kl_ + 0.1
+    qs_ = jnp.asarray(rng.standard_normal((Bs, Ss)).astype(np.float32))
+    los_ = jnp.full((Bs,), 227, jnp.int32)
+    # bytes: prompt read once per group + live per beam (one layer)
+    sp_bytes = (2 * Gs * CPs * Ss + 2 * Bs * 128 * Ss) * 2
+
+    def step_sp(x):
+        o = split_beam_attention(x, kp_, vp_, kl_, vl_, los_,
+                                 jnp.int32(110), n_head=6, kv_group=Ks,
+                                 layer=jnp.int32(1))
+        return x + o * 1e-30
+
+    us = _loop_time(step_sp, qs_, (), iters=500)
+    emit("split_beam_attn (B=40,grp=5,CP=256,live=110)", us,
+         sp_bytes / us, "GB/s", peak_bw)
+
     # ---- bounded beam KV reorder vs the full-batch gather
     from godot_whisper_tpu.ops.kv_reorder import reorder_kv_live
     L_, B_, C_, S_ = 4, 40, 512, 384
