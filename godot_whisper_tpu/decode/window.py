@@ -257,6 +257,11 @@ def _sample_beam(st: LoopState, statics: WindowStatics, fctx: FilterContext):
     hi_live = (st.i if use_split_cache(statics)
                else statics.prompt_pad + st.i)
     new_k, new_v = reorder_kv_live(st.kv.k, st.kv.v, src, hi_live)
+    # The (B, V) probs/logprobs are NOT gathered: next_probs overwrites
+    # them unconditionally later this iteration, and the only uses of
+    # the source beam's distribution are the chosen-token probability
+    # and the (B,)-sized timestamp stats — gathered below as scalars
+    # instead of moving 2 x 8.3 MB per step.
     st = st._replace(
         kv=KVCache(k=new_k, v=new_v),
         tokens=st.tokens[src],
@@ -265,11 +270,11 @@ def _sample_beam(st: LoopState, statics: WindowStatics, fctx: FilterContext):
         tok_tid=st.tok_tid[src],
         has_ts=st.has_ts[src], seek_delta=st.seek_delta[src],
         result_len=st.result_len[src],
-        probs=st.probs[src], logprobs=st.logprobs[src],
     )
 
-    p = st.probs[rows, jnp.where(live, ids, 0)]
-    pt, ptsum, tid = timestamp_stats(st.probs, fctx.token_beg)
+    p = st.probs[src, jnp.where(live, ids, 0)]
+    pt0, ptsum0, tid0 = timestamp_stats(st.probs, fctx.token_beg)
+    pt, ptsum, tid = pt0[src], ptsum0[src], tid0[src]
     is_ts = ids >= fctx.token_beg
     tid = jnp.where(is_ts, ids, tid)
     pt = jnp.where(is_ts, p, pt)
