@@ -30,8 +30,9 @@ Also reported (VERDICT r3 asks #3/#6):
 
 Env knobs: BENCH_MODEL, BENCH_AUDIO_SECONDS, BENCH_QUANTIZE (int8/int4),
 BENCH_LARGE=0, BENCH_BATCHES (comma list, default "8,16,32,64").
-The int8 mel wire engages automatically on slow links (audio/mel.py);
-an explicit f16-wire batch entry isolates its effect.
+Mel crosses the wire f16 by default (the WER-parity-safe format); an
+explicitly-labeled int8-wire entry isolates the opt-in lossier wire's
+throughput headroom (GWT_MEL_WIRE=int8, audio/mel.py).
 """
 
 from __future__ import annotations
@@ -230,16 +231,16 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             out[f"batch{nb}_throughput_audio_s_per_s"] = f"error: {e}"
 
-    # wire-format A/B: the int8 mel wire ENGAGES AUTOMATICALLY on links
-    # probed < 50 MB/s (audio/mel.py) — this run isolates its effect by
-    # forcing the f16 wire at batch 16
+    # wire-format A/B: the batchN entries above ride the DEFAULT f16 mel
+    # wire (WER-parity-safe); this explicitly-labeled entry measures the
+    # opt-in int8 wire's headroom on bandwidth-bound links
     if os.environ.get("BENCH_MEL_WIRE_AB", "1") == "1":
         try:
-            os.environ["GWT_MEL_WIRE"] = "f16"
-            out["f16_wire_batch16_throughput_audio_s_per_s"] = round(
+            os.environ["GWT_MEL_WIRE"] = "int8"
+            out["int8_wire_batch16_throughput_audio_s_per_s"] = round(
                 _batch_throughput(ctx, tp, 16, audio_seconds), 1)
         except Exception as e:  # pragma: no cover
-            out["f16_wire_error"] = str(e)[:200]
+            out["int8_wire_error"] = str(e)[:200]
         finally:
             os.environ.pop("GWT_MEL_WIRE", None)
 

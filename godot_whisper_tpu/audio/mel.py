@@ -208,18 +208,16 @@ def _mel_wire_int8() -> bool:
     so a per-clip affine uint8 encoding has 2/255 = 0.008 granularity —
     half the f16 bytes again.
 
-    ENGAGED AUTOMATICALLY on links probed slower than ~50 MB/s (where
-    the wire is the batched-throughput ceiling: BENCH_r03 measured the
-    f16 wire saturating a ~29 MB/s relay at ~1172 audio-s/s while the
-    int8 wire reached 1451).  GWT_MEL_WIRE=int8 forces it on,
-    GWT_MEL_WIRE=f16 forces it off (f16 is precision-equivalent to the
-    reference's f16 mel storage; int8's 0.008 step is ~1% of a typical
-    mel dynamic range — revisit against real-weight WER when checkpoints
-    are available)."""
-    v = os.environ.get("GWT_MEL_WIRE")
-    if v is not None:
-        return v == "int8"
-    return MelFrontend._host_mel() and MelFrontend._link_bw() < 50e6
+    STRICTLY OPT-IN (GWT_MEL_WIRE=int8): it measurably lifts batched
+    throughput on slow links (BENCH_r03: f16 wire saturated a ~29 MB/s
+    relay at ~1172 audio-s/s, int8 reached 1451) but it is a LOSSIER
+    decode input than the reference's f16 mel storage, and the project's
+    WER-parity invariant has not yet been validated on real weights —
+    f16 stays the default until a real-checkpoint WER comparison
+    (EVAL.md runbook) clears int8.  An earlier auto-engage on probed
+    link speed silently changed decode inputs on the primary deployment
+    (advisor r4 finding #2) and was reverted."""
+    return os.environ.get("GWT_MEL_WIRE") == "int8"
 
 
 def _encode_mel_u8(m_norm: np.ndarray):

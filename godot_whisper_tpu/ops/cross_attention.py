@@ -43,7 +43,7 @@ except Exception:  # pragma: no cover
 
 from .attention import use_pallas
 from .decode_attention import (_BLOCK_C, _H_PAD, _NEG_INF, _dot32,
-                               _fallback, _ones, _pick_bt, _seg_t)
+                               _fallback, _pick_bt, _seg_t)
 
 
 def _xattn_q_kernel(scal_ref, lo_ref, q_ref, kq_ref, ks_ref, vq_ref,

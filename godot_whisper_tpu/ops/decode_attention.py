@@ -206,12 +206,6 @@ def _decode_attn_kernel(scal_ref, lo_ref, q_ref, k_ref, v_ref,
             o_ref[:, 0, :] = out
 
 
-def _ones(rows: int, cols: int, dtype=jnp.float32):
-    """In-kernel all-ones matrix (iota-generated, no HLO constant)."""
-    return (lax.broadcasted_iota(jnp.int32, (rows, cols), 0) >= 0
-            ).astype(dtype)
-
-
 def _dot32(a, b):
     """EXACT f32 matmul for the softmax bookkeeping (broadcasts,
     selections, normalizers).  TPU f32 matmuls default to bf16-precision

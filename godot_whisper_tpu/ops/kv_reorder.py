@@ -65,24 +65,36 @@ def _pick_rb(l: int, c: int, s: int, itemsize: int) -> int:
     return rb
 
 
-def _copy_kernel(src_ref, k_ref, v_ref, ok_ref, ov_ref):
-    ok_ref[...] = k_ref[...]
-    ov_ref[...] = v_ref[...]
+def _copy_kernel(scal_ref, k_ref, v_ref, ok_ref, ov_ref):
+    # scal = [n_live_blocks, src...]; the one grid step at c == n_live
+    # (present only when a dead block exists) writes ZEROS instead of
+    # copying — the first dead block of every row must hold finite
+    # values because attention's p@V contraction multiplies it by the
+    # masked (exactly-0) probabilities, and 0 * garbage-NaN = NaN
+    # (uninitialized HBM in a fresh output buffer can hold any bits).
+    c = pl.program_id(1)
+    is_dead = c >= scal_ref[0]
+    ok_ref[...] = jnp.where(is_dead, 0, k_ref[...])
+    ov_ref[...] = jnp.where(is_dead, 0, v_ref[...])
 
 
 @functools.partial(jax.jit, static_argnames=("rb", "interpret"))
-def _reorder_tpu(kf, vf, src, n_blocks, *, rb: int,
+def _reorder_tpu(kf, vf, scal, n_grid, *, rb: int,
                  interpret: bool = False):
-    """Copy live blocks [0, n_blocks) of every row, gathered by src,
-    into fresh buffers.  All (L, B*C, S) flat views."""
+    """Copy live blocks [0, scal[0]) of every row, gathered by
+    src = scal[1:], into fresh buffers; zero-fill one trailing dead
+    block per row when capacity allows.  All (L, B*C, S) flat views."""
     l, bc, s = kf.shape
-    b = src.shape[0]
+    b = scal.shape[0] - 1
     nc_row = (bc // b) // rb
 
-    def in_map(j, c_i, src_ref):
-        return (0, src_ref[j] * nc_row + c_i, 0)
+    def in_map(j, c_i, scal_ref):
+        # dead block: alias the row's block 0 (resident, never fetched
+        # fresh) — its contents are ignored by the zero-fill write
+        c_src = jnp.where(c_i >= scal_ref[0], 0, c_i)
+        return (0, scal_ref[1 + j] * nc_row + c_src, 0)
 
-    def out_map(j, c_i, src_ref):
+    def out_map(j, c_i, scal_ref):
         return (0, j * nc_row + c_i, 0)
 
     spec_in = pl.BlockSpec((l, rb, s), in_map)
@@ -90,15 +102,15 @@ def _reorder_tpu(kf, vf, src, n_blocks, *, rb: int,
     return pl.pallas_call(
         _copy_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,        # src (B,)
-            grid=(b, n_blocks[0]),
+            num_scalar_prefetch=1,        # scal (1 + B,)
+            grid=(b, n_grid[0]),
             in_specs=[spec_in, spec_in],
             out_specs=[spec_out, spec_out],
         ),
         out_shape=[jax.ShapeDtypeStruct(kf.shape, kf.dtype),
                    jax.ShapeDtypeStruct(vf.shape, vf.dtype)],
         interpret=interpret,
-    )(src, kf, vf)
+    )(scal, kf, vf)
 
 
 def reorder_kv_live(k: jax.Array, v: jax.Array, src: jax.Array,
@@ -118,8 +130,19 @@ def reorder_kv_live(k: jax.Array, v: jax.Array, src: jax.Array,
         src = jnp.asarray(src, jnp.int32)
         kf = k.reshape(l, b * c, s)
         vf = v.reshape(l, b * c, s)
-        n_blocks = jnp.clip(-(-hi // rb), 1, c // rb).reshape(1)
-        ko, vo = _reorder_tpu(kf, vf, src, n_blocks, rb=rb,
+        n_blocks = jnp.clip(-(-hi // rb), 1, c // rb)
+        # extra grid steps zero-fill the dead blocks up to the NEXT
+        # 256-slot attention-block boundary past hi+1 (the next step
+        # writes slot hi then attends [0, hi+2)): the decode kernels
+        # fetch whole 256-blocks and their p@V contraction multiplies
+        # masked slots' V by exactly-0 probabilities — fine for finite
+        # garbage, NaN-poisoning for uninitialized HBM bit patterns
+        ab = max(256 // rb, 1)   # reorder blocks per attention block
+        cover = -(-(hi + 2) // 256) * ab
+        n_grid = jnp.clip(jnp.maximum(n_blocks, cover), 1,
+                          c // rb).reshape(1)
+        scal = jnp.concatenate([n_blocks.reshape(1), src])
+        ko, vo = _reorder_tpu(kf, vf, scal, n_grid, rb=rb,
                               interpret=interpret)
         return ko.reshape(k.shape), vo.reshape(v.shape)
     return jnp.take(k, src, axis=1), jnp.take(v, src, axis=1)

@@ -28,6 +28,30 @@ def test_reorder_matches_take_on_live_prefix(l, b, c, s, hi):
     assert bool(jnp.all(vo[:, :, :hi] == vr[:, :, :hi]))
 
 
+def test_reorder_zero_fills_dead_blocks_to_attention_boundary():
+    """Slots [hi_rounded, next-256-boundary) of the output must be
+    EXACTLY zero (not uninitialized): the decode attention kernels fetch
+    whole 256-slot blocks and their p@V contraction multiplies masked
+    slots' V by 0 — finite garbage survives that, NaN bit patterns from
+    recycled HBM do not (advisor r4 finding #1)."""
+    rng = np.random.default_rng(2)
+    l, b, c, s, hi = 2, 8, 1024, 128, 100
+    k = jnp.asarray(rng.standard_normal((l, b, c, s)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((l, b, c, s)), jnp.bfloat16)
+    src = jnp.asarray(rng.integers(0, b, b), jnp.int32)
+    ko, vo = reorder_kv_live(k, v, src, jnp.int32(hi), interpret=True)
+    # live prefix still correct
+    kr = jnp.take(k, src, axis=1)
+    assert bool(jnp.all(ko[:, :, :hi] == kr[:, :, :hi]))
+    # coverage through the attention block containing hi+1 is defined:
+    # the copy covers rb-rounded hi (rb=128 here -> [0, 128)); the
+    # zero-fill must reach the 256-slot attention boundary
+    bound = -(-(hi + 2) // 256) * 256     # = 256
+    rb_hi = 128                           # copied region end
+    assert bool(jnp.all(vo[:, :, rb_hi:bound] == 0))
+    assert bool(jnp.all(ko[:, :, rb_hi:bound] == 0))
+
+
 def test_reorder_duplicated_and_identity_sources():
     """Beam merges frequently pick the same parent for several rows and
     identity for dead rows — both must replicate exactly."""

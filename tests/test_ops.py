@@ -124,6 +124,50 @@ def test_cross_attention_quant_kernel(interpret_mode):
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.parametrize("kg,H,D,T_pad,t_valid,L,layer", [
+    # packed (kg*H=30 <= 128) + blk_c=512 variant (T_pad % 512 == 0)
+    (5, 6, 64, 512, 300, 1, None),
+    # packed + blk_c=256 variant (T_pad % 512 != 0)
+    (5, 6, 64, 256, 200, 1, None),
+    # WIDE unrolled shared_kv fallback (kg*H=160 > 128)
+    (5, 32, 16, 256, 100, 1, None),
+    # 4-D stacked caches + traced layer scalar (packed)
+    (5, 6, 64, 512, 300, 3, 1),
+])
+def test_cross_attention_quant_grouped(interpret_mode, kg, H, D, T_pad,
+                                       t_valid, L, layer):
+    """Grouped int8 cross-attention (advisor r4 finding #3): the packed
+    128-lane kernel, the 512-block variant, the wide unrolled shared_kv
+    branch and the layer-scalar path vs the float oracle.  G beam groups
+    of kg rows share one K/V row each."""
+    from godot_whisper_tpu.ops import cross_attention
+
+    rng = np.random.default_rng(11)
+    G = 2
+    B = G * kg
+    S = H * D
+    q = rng.standard_normal((B, S)).astype(np.float32)
+    per_layer = [_make_quant_kv_merged(rng, G, T_pad, H, D)
+                 for _ in range(L)]
+    k_q, k_s, v_q, v_s = (np.stack([pl_[i] for pl_ in per_layer])
+                          for i in range(4))
+    li = 0 if layer is None else layer
+    args = ((jnp.asarray(k_q[li]), jnp.asarray(k_s[li]).astype(
+        jnp.bfloat16), jnp.asarray(v_q[li]), jnp.asarray(v_s[li]))
+        if L == 1 else
+        (jnp.asarray(k_q), jnp.asarray(k_s).astype(jnp.bfloat16),
+         jnp.asarray(v_q), jnp.asarray(v_s)))
+    got = np.asarray(cross_attention.cross_attention_quant(
+        jnp.asarray(q), *args, n_head=H,
+        t_valid=jnp.full((B,), t_valid, jnp.int32), kv_group=kg,
+        layer=None if L == 1 else jnp.int32(layer), interpret=True))
+    rep = np.repeat
+    want = _xattn_oracle_merged(
+        q, rep(k_q[li], kg, axis=0), rep(k_s[li], kg, axis=0),
+        rep(v_q[li], kg, axis=0), rep(v_s[li], kg, axis=0), H, t_valid)
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
 def test_cross_attention_quant_fallback_matches_oracle():
     """CPU fallback path (float dequant + shared jnp fallback) vs the
     oracle."""
