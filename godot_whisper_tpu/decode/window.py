@@ -17,8 +17,10 @@ Semantics mirrored step-for-step:
 - repetition-loop failure at the last step (whisper.cpp:5500-5506);
 - the weightless-stub test fast-path (whisper.cpp:5492-5497);
 - beam candidate generation + global score sort + equal-score dedupe + KV
-  reorder (whisper.cpp:5360-5419) — as a gather over the batch axis instead
-  of seq-id cache surgery.
+  reorder (whisper.cpp:5360-5419) — zero-copy in split-cache mode: the
+  merge permutes a (B, NL) row map read by the attention kernel instead of
+  moving cache bytes (the functional twin of the reference's seq_cp cell
+  re-tagging); wide configs fall back to a bounded batch-axis gather.
 
 One deliberate divergence: beam candidates are deterministic top-k over
 logprobs (textbook beam search, as in OpenAI's reference decoder) rather
@@ -73,6 +75,11 @@ def _xkv_broadcast(xkv, B: int):
 class LoopState(NamedTuple):
     i: jax.Array                 # scalar i32 — step counter
     kv: KVCache
+    rowmap: Optional[jax.Array]  # (B, NL) i32 — split-cache beam mode
+                                 # only (None otherwise): beam b's live
+                                 # slot t lives at group row rowmap[b,t]
+                                 # (the zero-copy merge indirection,
+                                 # ops/split_attention.py)
     tokens: jax.Array            # (B, N_MAX) i32
     tok_p: jax.Array             # (B, N_MAX) f32
     tok_plog: jax.Array          # (B, N_MAX) f32
@@ -244,26 +251,31 @@ def _sample_beam(st: LoopState, statics: WindowStatics, fctx: FilterContext):
 
     # gather candidate-carried state from source beams (whisper.cpp:5332,
     # 5397-5400): sequence, seek_delta, has_ts, result_len, token data.
-    # The KV gather is BOUNDED to the live prefix — the functional
-    # analogue of the reference's zero-copy seq_cp re-tagging
-    # (whisper.cpp:5402-5418); slots beyond are dead (rewritten before
-    # any read, masked in attention) so they are left unspecified
-    # instead of copied (ops/kv_reorder.py).  With the split cache the
-    # prompt region isn't even stored per beam, so the copy covers just
-    # the [0, i) autoregressive slots.  (A ping-pong alt-buffer variant
-    # measured SLOWER: swapping buffer roles between while-loop
-    # iterations breaks XLA's stable carry-buffer assignment and it
-    # restores it with full copies.)
-    hi_live = (st.i if use_split_cache(statics)
-               else statics.prompt_pad + st.i)
-    new_k, new_v = reorder_kv_live(st.kv.k, st.kv.v, src, hi_live)
+    #
+    # The KV history is NOT moved at all in split-cache mode: the merge
+    # permutes the (B, NL) ROW MAP instead (rowmap' = rowmap[src], then
+    # slot i -> own row for the incoming write) and the split-attention
+    # kernel reads each beam's live slots through the map — the exact
+    # functional twin of the reference's zero-copy kv_cache_seq_cp cell
+    # re-tagging (whisper.cpp:5402-5418), at ~80 KB of i32 shuffling
+    # per step instead of the ~0.5 ms bounded cache copy it replaced
+    # (the copy itself had replaced a ~1.4 ms full-cache take; see
+    # ops/kv_reorder.py, now only the wide-config fallback).
+    if st.rowmap is not None:
+        K_ = statics.beam_size
+        own = (jnp.arange(B, dtype=jnp.int32) % K_)
+        new_rowmap = st.rowmap[src].at[:, st.i].set(own)
+        st = st._replace(rowmap=new_rowmap)
+    else:
+        hi_live = statics.prompt_pad + st.i
+        new_k, new_v = reorder_kv_live(st.kv.k, st.kv.v, src, hi_live)
+        st = st._replace(kv=KVCache(k=new_k, v=new_v))
     # The (B, V) probs/logprobs are NOT gathered: next_probs overwrites
     # them unconditionally later this iteration, and the only uses of
     # the source beam's distribution are the chosen-token probability
     # and the (B,)-sized timestamp stats — gathered below as scalars
     # instead of moving 2 x 8.3 MB per step.
     st = st._replace(
-        kv=KVCache(k=new_k, v=new_v),
         tokens=st.tokens[src],
         tok_p=st.tok_p[src], tok_plog=st.tok_plog[src],
         tok_pt=st.tok_pt[src], tok_ptsum=st.tok_ptsum[src],
@@ -446,12 +458,19 @@ def run_decode_loop(params, config: WhisperConfig, fctx: FilterContext,
                 lshape = (kv.k.shape[0], B, nl, kv.k.shape[3])
                 kv = KVCache(k=jnp.zeros(lshape, kv.k.dtype),
                              v=jnp.zeros(lshape, kv.v.dtype))
+                # zero-copy merge row map: every beam starts owning its
+                # own live row for every slot
+                rowmap0 = jnp.tile(
+                    (jnp.arange(B, dtype=jnp.int32) % kb)[:, None],
+                    (1, nl))
             else:
                 kv_prompt = None
+                rowmap0 = None
 
             st = LoopState(
                 i=jnp.int32(0),
                 kv=kv,
+                rowmap=rowmap0,
                 tokens=jnp.zeros((B, N_MAX), jnp.int32),
                 tok_p=jnp.zeros((B, N_MAX), jnp.float32),
                 tok_plog=jnp.zeros((B, N_MAX), jnp.float32),
@@ -567,7 +586,7 @@ def run_decode_loop(params, config: WhisperConfig, fctx: FilterContext,
                         lo=n_prompt, slot=slot_i,
                         split=statics.prompt_pad,
                         kv_group=statics.kv_group,
-                        kv_prompt=kv_prompt)
+                        kv_prompt=kv_prompt, rowmap=st.rowmap)
                     if statics.fused:
                         return st._replace(
                             kv=kv, probs=logits.astype(jnp.float32))

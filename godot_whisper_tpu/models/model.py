@@ -470,6 +470,14 @@ def decoder_step(
                               # prompt offset) and self-attention runs
                               # the two-source ops/split_attention.py
                               # kernel.  ``split`` is ignored.
+    rowmap: Optional[jax.Array] = None,
+                              # (B, NL) i32 zero-copy beam-merge row
+                              # map for the split live cache: beam b's
+                              # slot t lives at group row rowmap[b, t]
+                              # (ops/split_attention.py).  The NEW
+                              # token always writes to the beam's own
+                              # row; rowmap[:, slot] must equal the own
+                              # row at call time.
 ) -> Tuple[jax.Array, KVCache]:
     """THE autoregressive hot step: one token per row, fused decode
     attention, one uniform-slot cache write per layer.
@@ -530,7 +538,8 @@ def decoder_step(
         if kv_prompt is not None:
             o = split_beam_attention(
                 q, kv_prompt.k, kv_prompt.v, kv_k, kv_v, lo, hi,
-                n_head=n_head, kv_group=beam_group, layer=l_idx)
+                n_head=n_head, kv_group=beam_group, layer=l_idx,
+                rowmap=rowmap)
         else:
             o = decode_attention(q, kv_k, kv_v, lo, hi,
                                  split=split, n_head=n_head,

@@ -11,9 +11,11 @@ and reorder traffic (docs/SCALING.md "batch scaling"):
   heads share one score tile, one NT dot per block — see
   decode_attention._decode_attn_group_packed_kernel);
 - the LIVE autoregressive slots differ per beam, (L, B, NL, S), written
-  at slot i (no prompt offset, no masked gap) and reordered by the beam
-  merge over just [0, i) — a 2-4x smaller copy than the single-cache
-  layout's [0, split + i).
+  at slot i (no prompt offset, no masked gap) and re-sourced by the
+  beam merge with ZERO copying: a (B, NL) row map (permuted at each
+  merge) tells the kernel which group row physically holds each beam's
+  slot — matching the reference's zero-movement seq_cp re-tag
+  (whisper.cpp:5402-5418).
 
 One kernel walks both: the c-grid covers prompt blocks then live
 blocks, the online-softmax scratch carries across the phase boundary,
@@ -55,12 +57,15 @@ from .decode_attention import (_BLOCK_C, _H_PAD, _NEG_INF, _dot32,
 
 
 def _split_beam_kernel(scal_ref, lo_ref, q_ref, kp_ref, vp_ref, kl_ref,
-                       vl_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                       vl_ref, rm_ref, o_ref, acc_ref, m_ref, l_ref, *,
                        ncp: int, n_blocks_max: int, scale: float,
                        kg: int, n_head: int):
     """One (group, c-block) step.  Blocks [0, ncp) read the shared
     prompt cache; blocks [ncp, n_blocks_max) read the per-beam live
-    cache.  scal = [hi_live, layer, lo_max]."""
+    cache THROUGH THE ROW MAP rm (1, K, BC): beam b's live slot t
+    physically lives at group row rm[b, t] — the zero-copy beam-merge
+    indirection (see split_beam_attention).  scal = [hi_live, layer,
+    lo_max]."""
     c = pl.program_id(1)
     hi_live = scal_ref[0]
     s_dim = q_ref.shape[-1]
@@ -123,30 +128,38 @@ def _split_beam_kernel(scal_ref, lo_ref, q_ref, kp_ref, vp_ref, kl_ref,
 
     @pl.when(~is_prompt & (c - ncp < nl_act))
     def _():
-        _, seg_q = seg_q_packed()
-        r_s = lax.broadcasted_iota(jnp.int32, (_H_PAD, s_dim), 0)
+        sel, seg_q = seg_q_packed()
         slot = (c - ncp) * bc + lax.broadcasted_iota(
             jnp.int32, (_H_PAD, bc), 1)
-        # per-beam masked NT dots: row masks partition the sublane axis,
-        # so the K partial score tiles sum exactly into one (HP, BC)
-        r_bc = lax.broadcasted_iota(jnp.int32, (_H_PAD, bc), 0)
+        # row-map expand: rm_e[r, t] = rm[beam(r), t] — which physical
+        # group row holds beam(r)'s live slot t.  One exact one-hot
+        # matmul (values < kg, exact in any precision).
+        rm_e = _dot32(sel.astype(jnp.float32),
+                      rm_ref[0].astype(jnp.float32))      # (HP, BC)
+        # per-slot source selection: each physical row's full score tile
+        # is computed once, then each (beam, slot) cell keeps the tile
+        # of its mapped source row.  The masks partition (HP, BC), so
+        # the sum is an exact select — same MXU cost as the previous
+        # per-beam row-masked dots, plus K cheap VPU selects.
         s_t = None
+        z_masks = []
         for b_ in range(kg):
-            rmask = ((r_s // n_head) == b_).astype(jnp.bfloat16)
             kb = kl_ref[0, 0, b_].astype(jnp.bfloat16)    # (BC, S)
             part = lax.dot_general(
-                seg_q * rmask, kb, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                seg_q, kb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (HP, BC)
+            m_b = rm_e == float(b_)
+            z_masks.append(m_b)
+            part = jnp.where(m_b, part, 0.0)
             s_t = part if s_t is None else s_t + part
         s_t = s_t * scale
         s_t = jnp.where(slot < hi_live, s_t, _NEG_INF)
         p_t, corr = online_update(s_t)
         z = None
         for b_ in range(kg):
-            rmask_p = ((r_bc // n_head) == b_).astype(jnp.float32)
             vb = vl_ref[0, 0, b_].astype(jnp.bfloat16)
             part = lax.dot_general(
-                (p_t * rmask_p).astype(jnp.bfloat16),
+                jnp.where(z_masks[b_], p_t, 0.0).astype(jnp.bfloat16),
                 vb, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             z = part if z is None else z + part
@@ -168,23 +181,47 @@ def _split_beam_kernel(scal_ref, lo_ref, q_ref, kp_ref, vp_ref, kl_ref,
 
 def split_beam_attention(q, kp, vp, kl, vl, lo, hi_live, *,
                          n_head: int, kv_group: int, layer=None,
-                         interpret: bool = False):
+                         rowmap=None, interpret: bool = False):
     """Self-attention over a split prompt/live beam cache.
 
     q: (B, S) with B = G * kv_group; kp/vp: (L, G, CP, S) shared prompt
     KV; kl/vl: (L, B, NL, S) per-beam live KV; lo: (B,) per-row prompt
     valid length; hi_live: scalar — live slots [0, hi_live) valid;
     ``layer``: traced i32 selecting the layer (required for 4-D inputs).
-    Returns (B, S) f32.
+
+    ``rowmap`` (B, NL) i32, values in [0, kv_group): the ZERO-COPY beam
+    merge — beam b's live slot t physically lives at row
+    ``group_base + rowmap[b, t]`` of kl/vl.  The beam merge permutes
+    this map (rowmap' = rowmap[src]; rowmap'[:, i] = own row) instead
+    of moving cache bytes — the functional twin of the reference's
+    kv_cache_seq_cp cell re-tagging (/root/reference/thirdparty/
+    whisper.cpp/whisper.cpp:5402-5418), which re-sources beam histories
+    with ZERO tensor movement.  None means identity (each beam owns its
+    own row — pre-merge semantics).  Returns (B, S) f32.
     """
     b, s = q.shape
     if kp.ndim == 3:
         kp, vp, kl, vl = kp[None], vp[None], kl[None], vl[None]
         layer = jnp.int32(0) if layer is None else layer
     lo = jnp.asarray(lo, jnp.int32).reshape(b)
+    nl = kl.shape[2]
+    g = b // kv_group
+    if rowmap is None:
+        rowmap = jnp.broadcast_to(
+            (jnp.arange(b, dtype=jnp.int32) % kv_group)[:, None], (b, nl))
+    rowmap = jnp.asarray(rowmap, jnp.int32)
     if not (use_pallas() or interpret):
         li = layer if kp.shape[0] != 1 else 0
         kpl, vpl, kll, vll = kp[li], vp[li], kl[li], vl[li]
+        # apply the row map: gather each beam's live history from its
+        # mapped source rows within the group
+        idx = rowmap.reshape(g, kv_group, nl)[..., None]
+        kll = jnp.take_along_axis(
+            kll.reshape(g, kv_group, nl, s), idx, axis=1
+        ).reshape(b, nl, s)
+        vll = jnp.take_along_axis(
+            vll.reshape(g, kv_group, nl, s), idx, axis=1
+        ).reshape(b, nl, s)
         kfull = jnp.concatenate(
             [jnp.repeat(kpl, kv_group, axis=0), kll], axis=1)
         vfull = jnp.concatenate(
@@ -201,16 +238,17 @@ def split_beam_attention(q, kp, vp, kl, vl, lo, hi_live, *,
     # live cache reshaped so a (1, K, blk, s) block addresses one
     # group's beams: (L, B, NL, S) -> (L, G, K, NL, S) is just a view
     L_, B_, NL_, S_ = kl.shape
-    g = B_ // kv_group
     kl5 = kl.reshape(L_, g, kv_group, NL_, S_)
     vl5 = vl.reshape(L_, g, kv_group, NL_, S_)
-    return _split_tpu_5d(q, kp, vp, kl5, vl5, lo, scal, n_head=n_head,
-                         kv_group=kv_group, interpret=interpret)
+    return _split_tpu_5d(q, kp, vp, kl5, vl5, lo,
+                         rowmap.reshape(g, kv_group, NL_), scal,
+                         n_head=n_head, kv_group=kv_group,
+                         interpret=interpret)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_head", "kv_group", "interpret"))
-def _split_tpu_5d(q, kp, vp, kl5, vl5, lo, scal, *, n_head: int,
+def _split_tpu_5d(q, kp, vp, kl5, vl5, lo, rowmap, scal, *, n_head: int,
                   kv_group: int, interpret: bool = False):
     b, s = q.shape
     g = b // kv_group
@@ -232,6 +270,12 @@ def _split_tpu_5d(q, kp, vp, kl5, vl5, lo, scal, *, n_head: int,
         cl = jnp.clip(c_i - ncp, 0, None)
         return (scal_ref[1], g_i, 0, jnp.minimum(cl, nl_act - 1), 0)
 
+    def rm_map(g_i, c_i, scal_ref):
+        nl_act = jnp.maximum(pl.cdiv(jnp.maximum(scal_ref[0], 1), blk),
+                             1)
+        cl = jnp.clip(c_i - ncp, 0, None)
+        return (g_i, 0, jnp.minimum(cl, nl_act - 1))
+
     def row_map(g_i, c_i, scal_ref):
         return (g_i, 0, 0)
 
@@ -248,6 +292,7 @@ def _split_tpu_5d(q, kp, vp, kl5, vl5, lo, scal, *, n_head: int,
             pl.BlockSpec((1, 1, blk, s), prompt_map),   # vp 4D
             pl.BlockSpec((1, 1, kv_group, blk, s), live_map),  # kl 5D
             pl.BlockSpec((1, 1, kv_group, blk, s), live_map),  # vl 5D
+            pl.BlockSpec((1, kv_group, blk), rm_map),   # rowmap (G,K,NL)
         ],
         out_specs=pl.BlockSpec((1, kv_group, s), row_map),
         scratch_shapes=[
@@ -267,5 +312,5 @@ def _split_tpu_5d(q, kp, vp, kl5, vl5, lo, scal, *, n_head: int,
             transcendentals=b * (cp + nl) * _H_PAD),
         interpret=interpret,
     )(scal, lo.reshape(g, kv_group, 1), q.reshape(g, kv_group, s),
-      kp, vp, kl5, vl5)
+      kp, vp, kl5, vl5, rowmap)
     return out.reshape(b, s)
