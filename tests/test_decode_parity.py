@@ -358,7 +358,9 @@ def test_multiwindow_clip_parity_vs_hf(paired_models_mw):
 
     ctx, hf_model, cfg = paired_models_mw
     rng = np.random.default_rng(0)
-    t = np.arange(65 * 16000) / 16000.0
+    # 64.5 s: 3 windows AND the last one starts within 5 s of the end,
+    # exercising the stale-context drop (whisper.cpp:5176-5180)
+    t = np.arange(int(64.5 * 16000)) / 16000.0
     audio = (0.4 * np.sin(2 * np.pi * (300 + 40 * np.sin(
         2 * np.pi * 0.05 * t)) * t)
         + 0.1 * rng.standard_normal(len(t))).astype(np.float32)
@@ -379,6 +381,7 @@ def test_multiwindow_clip_parity_vs_hf(paired_models_mw):
 
     past: list = []
     stale_seen = False
+    total_compared = 0
     for k, (seek, ours_w) in enumerate(windows):
         pp = list(past)
         if seek > 0 and seek + 500 >= n_len:   # stale-context drop
@@ -391,14 +394,16 @@ def test_multiwindow_clip_parity_vs_hf(paired_models_mw):
         win[:, max(0, n_len - seek):] = 0.0
         hf_w = _hf_window(hf_model, cfg, fctx, win, prompt)
         n = min(len(ours_w), len(hf_w))
-        assert n >= 5, f"window {k} too short to compare: {ours_w}, {hf_w}"
+        assert n >= 2, f"window {k} too short to compare: {ours_w}, {hf_w}"
         assert ours_w[:n] == hf_w[:n], (
             f"window {k} (seek={seek}, prompt_len={len(prompt)}) "
             f"diverged:\nours={ours_w[:n]}\nhf  ={hf_w[:n]}")
+        total_compared += n
         if k > 0 and pp:
             assert len(prompt) > len(prompt_init), \
                 "window 2+ should be past-conditioned"
         past = pp + ours_w
+    assert total_compared >= 40, f"only {total_compared} tokens compared"
     assert stale_seen, (
         f"audio length should produce a stale-context-drop window; "
         f"seeks={[s for s, _ in windows]}, n_len={n_len}")
