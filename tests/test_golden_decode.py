@@ -125,3 +125,112 @@ def test_golden_greedy_and_beam(golden_ctx, request):
         "decode semantics shifted vs the checked-in golden transcript; "
         "if intentional, regenerate with --golden-regen and justify in "
         "the commit message")
+
+
+# ---------------------------------------------------------------------------
+# Clip-loop scenario goldens (VERDICT r4 weak #5: ladder-fallback,
+# multi-window, translate paths frozen — not just the first window)
+GOLDEN_CLIP = os.path.join(os.path.dirname(__file__), "golden",
+                           "nano_clip_scenarios.json")
+
+
+def _clip_scenario(ctx, audio, tparams, prompt_init, temps):
+    """Run the device clip loop and snapshot its window-level state."""
+    pipe = ctx.pipeline
+    pipe.set_audio(audio)
+    cd = pipe._clip_decoder(tparams, temps, prompt_init, False,
+                            pipe._mel_device.shape[1])
+    state = cd.init_state(pipe._mel_device[None], [pipe._mel_n_len],
+                          [0], [pipe._n_len_org], past_init=[[]])
+    state = cd.run(pipe.params, state)
+    outs = cd.drain(state)
+    W = int(outs.w[0])
+    return {
+        "w": W,
+        "done": bool(outs.done[0]),
+        "past_cnt": int(outs.past_cnt[0]),
+        "windows": [{
+            "seek": int(outs.seek[0, k]),
+            "delta": int(outs.delta[0, k]),
+            "rl": int(outs.rl[0, k]),
+            "emitted": bool(outs.emitted[0, k]),
+            "temp": round(float(outs.temp[0, k]), 3),
+            "tokens": [int(x) for x in
+                       outs.tokens[0, k, :min(int(outs.rl[0, k]), 24)]],
+        } for k in range(W)],
+    }
+
+
+def _multi_audio(seconds: float):
+    t = np.arange(int(seconds * 16000)) / 16000.0
+    x = (0.3 * np.sin(2 * np.pi * (220.0 + 60 * np.sin(
+        2 * np.pi * 0.07 * t)) * t)
+        + 0.2 * np.sin(2 * np.pi * 447.0 * t)
+        * (0.5 + 0.5 * np.sin(2 * np.pi * 1.7 * t)))
+    return x.astype(np.float32)
+
+
+@pytest.fixture()
+def golden_ctx_multi():
+    import jax.numpy as jnp
+    from godot_whisper_tpu.audio.mel import mel_filterbank
+    from godot_whisper_tpu.audio.tokenizer import Tokenizer, synthetic_vocab
+    from godot_whisper_tpu.decode.loop import WhisperPipeline
+    from godot_whisper_tpu.models.params import init_params
+
+    cfg = gwt.get_config("tiny").replace(
+        n_audio_layer=2, n_text_layer=2, n_audio_state=128,
+        n_audio_head=4, n_text_state=128, n_text_head=4,
+        name="nano-multi")
+    params = init_params(cfg, seed=3, compute_dtype=jnp.float32)
+    tokenizer = Tokenizer(cfg, synthetic_vocab(cfg))
+    pipe = WhisperPipeline(cfg, params, tokenizer, mel_filterbank(80),
+                           n_loaded=1)
+    return gwt.WhisperContext(pipe)
+
+
+def test_golden_clip_scenarios(golden_ctx, golden_ctx_multi, request):
+    """Freezes the DEVICE clip loop across three scenario axes:
+
+    - ``multiwindow``: 34 s clip, two windows, prompt_past conditioning
+      between them (whisper.cpp:5237-5260) — gates disabled so windows
+      emit on a random nano model;
+    - ``ladder``: default gates + temps (0.0, 0.2, 0.4) — the entropy
+      gate legitimately rejects rung 0 on noise and the settled
+      temperature/step counts pin the fallback machinery
+      (whisper.cpp:5611-5671);
+    - ``translate``: multilingual nano, [sot, lang(de), translate]
+      prefix (whisper.cpp:5104-5116).
+    """
+    cfg = golden_ctx.config
+    mcfg = golden_ctx_multi.config
+    base = dict(best_of=1, temperature_inc=0.0, print_progress=False)
+    p_open = gwt.TranscribeParams(entropy_thold=-1e9, logprob_thold=-1e9,
+                                  **base)
+    p_ladder = gwt.TranscribeParams(temperature=0.0, **{
+        **base, "temperature_inc": 0.2})
+    from godot_whisper_tpu.decode.language import lang_id
+    got = {
+        "multiwindow": _clip_scenario(
+            golden_ctx, _multi_audio(34.0), p_open,
+            [cfg.token_sot], [0.0]),
+        "ladder": _clip_scenario(
+            golden_ctx, _multi_audio(5.0), p_ladder,
+            [cfg.token_sot], [0.0, 0.2, 0.4]),
+        "translate": _clip_scenario(
+            golden_ctx_multi, _multi_audio(5.0), p_open,
+            [mcfg.token_sot, mcfg.token_lang(lang_id("de")),
+             mcfg.token_translate], [0.0]),
+    }
+    if request.config.getoption("--golden-regen", default=False):
+        with open(GOLDEN_CLIP, "w") as f:
+            json.dump(got, f, indent=1)
+        pytest.skip(f"golden regenerated at {GOLDEN_CLIP}")
+    assert os.path.exists(GOLDEN_CLIP), (
+        "golden file missing — run with --golden-regen once")
+    with open(GOLDEN_CLIP) as f:
+        want = json.load(f)
+    assert got == want, (
+        "clip-loop semantics shifted vs the checked-in golden; if "
+        "intentional, regenerate with --golden-regen and justify in the "
+        "commit message")
