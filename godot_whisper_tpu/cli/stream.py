@@ -34,6 +34,18 @@ def main(argv=None) -> int:
     p.add_argument("--prompt", default="")
     p.add_argument("--realtime", action="store_true",
                    help="pace file replay at 1x instead of max speed")
+    p.add_argument("--mic", action="store_true",
+                   help="capture from a microphone (runtime/capture.py: "
+                        "sounddevice or arecord; the reference's SDL/"
+                        "AudioEffectCapture analogue)")
+    p.add_argument("--capture-backend", default="auto",
+                   choices=["auto", "sounddevice", "arecord", "synthetic"],
+                   help="capture backend (synthetic = paced generator "
+                        "for machines without audio hardware)")
+    p.add_argument("--device", default=None,
+                   help="capture device name/index for --mic")
+    p.add_argument("--duration", type=float, default=0.0,
+                   help="stop --mic capture after N seconds (0 = Ctrl-C)")
     args = p.parse_args(argv)
 
     import godot_whisper_tpu as gwt
@@ -67,7 +79,27 @@ def main(argv=None) -> int:
         source_rate=gwt.SAMPLE_RATE)
 
     chunk = int(args.step * gwt.SAMPLE_RATE)
-    if args.file:
+    if args.mic:
+        # mic -> native SPSC ring -> scheduler pull each interval
+        # (capture_stream_to_text.gd:69-120 / examples/stream/stream.cpp)
+        from godot_whisper_tpu.runtime.capture import CaptureSource
+        src = CaptureSource(args.capture_backend, device=args.device)
+        backend = src.start()
+        print(f"[mic] capturing via {backend} (Ctrl-C to stop)",
+              file=sys.stderr)
+        t_end = (time.perf_counter() + args.duration
+                 if args.duration > 0 else None)
+        try:
+            while t_end is None or time.perf_counter() < t_end:
+                time.sleep(args.step)
+                st.push_audio(src.read_available())
+                st.process_once()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            src.stop()
+        st.process_once()
+    elif args.file:
         from godot_whisper_tpu.audio.resample import resample
         from godot_whisper_tpu.audio.wav import read_wav
         samples, rate = read_wav(args.file)

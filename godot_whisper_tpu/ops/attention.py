@@ -42,19 +42,27 @@ _BLOCK_K = 512
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_pad: int,
                   t_valid: int):
     """One (batch*head, q-block) program: stream K/V blocks with online
-    softmax, masking the padded key tail."""
-    q = q_ref[0].astype(jnp.float32) * scale        # (BQ, D)
+    softmax, masking the padded key tail.
+
+    Matmuls run at the INPUT precision (bf16 on the encoder path) with
+    f32 accumulation — numerically the same contraction the XLA einsum
+    path performs.  An earlier revision upcast q/k/v to f32 before the
+    dots; MXU f32 passes run at ~1/4 the bf16 rate, which capped the
+    kernel at a flat 28% of the bf16 roofline across every shape
+    (KERNELS_r04.json).  Softmax bookkeeping stays f32."""
+    cdt = q_ref.dtype if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    q = q_ref[0].astype(cdt)                        # (BQ, D)
     bq, d = q.shape
 
     n_k_blocks = t_pad // _BLOCK_K
 
     def body(i, carry):
         acc, m_i, l_i = carry
-        k = k_ref[0, pl.ds(i * _BLOCK_K, _BLOCK_K), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * _BLOCK_K, _BLOCK_K), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * _BLOCK_K, _BLOCK_K), :].astype(cdt)
+        v = v_ref[0, pl.ds(i * _BLOCK_K, _BLOCK_K), :].astype(cdt)
         s = lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)      # (BQ, BK)
+            preferred_element_type=jnp.float32) * scale  # (BQ, BK) f32
         col = (i * _BLOCK_K
                + lax.broadcasted_iota(jnp.int32, (bq, _BLOCK_K), 1))
         s = jnp.where(col < t_valid, s, _NEG_INF)
@@ -63,7 +71,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_pad: int,
         correction = jnp.exp(m_i - m_new)
         l_new = l_i * correction + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * correction + lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(cdt), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
