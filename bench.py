@@ -275,21 +275,41 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             out["beam5_error"] = str(e)[:200]
 
+    # whole-family coverage (reference extra/bench.py sweeps every model
+    # size): small + medium single-stream RTF on on-device weights
+    if os.environ.get("BENCH_FAMILY", "1") == "1":
+        faudio = _make_audio(min(audio_seconds, 60.0))
+        for fam in ("small", "medium"):
+            try:
+                fctx = _load_ctx(fam, quantize, on_device=True)
+                out[f"{fam}_single_rtf"] = round(
+                    _single_rtf(fctx, tp, faudio, n=2), 2)
+                del fctx
+            except Exception as e:  # pragma: no cover
+                out[f"{fam}_error"] = str(e)[:120]
+
     if os.environ.get("BENCH_LARGE", "1") == "1" and model != "large-v3":
         try:
-            lctx = _load_ctx("large-v3", quantize, on_device=True)
             laudio = _make_audio(min(audio_seconds, 60.0))
+            lctx = _load_ctx("large-v3", quantize, on_device=True)
             out["large_v3_single_rtf"] = round(
                 _single_rtf(lctx, tp, laudio, n=2), 2)
             out["large_v3_batch8_throughput_audio_s_per_s"] = round(
                 _batch_throughput(lctx, tp, 8, min(audio_seconds, 60.0),
                                   n_batches=2), 1)
-            # int8 decoder weights: large-v3 decode is bound by the
-            # ~1.8 GB/step bf16 weight read; int8 halves it
+            # quantized decoder weights: large-v3 decode streams ~1.5 GB
+            # of bf16 weights per token — int8 halves, int4 quarters
             del lctx
             lqctx = _load_ctx("large-v3", "int8", on_device=True)
             out["large_v3_int8_single_rtf"] = round(
                 _single_rtf(lqctx, tp, laudio, n=2), 2)
+            out["large_v3_int8_batch8_throughput_audio_s_per_s"] = round(
+                _batch_throughput(lqctx, tp, 8, min(audio_seconds, 60.0),
+                                  n_batches=2), 1)
+            del lqctx
+            l4ctx = _load_ctx("large-v3", "int4", on_device=True)
+            out["large_v3_int4_single_rtf"] = round(
+                _single_rtf(l4ctx, tp, laudio, n=2), 2)
         except Exception as e:  # pragma: no cover
             out["large_v3_error"] = str(e)[:200]
 

@@ -67,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="runtime weight quantization: int8 (decoder "
                         "weights stored int8, dequantized in-kernel)")
     p.add_argument("--print-special", action="store_true")
+    p.add_argument("-pc", "--print-colors", action="store_true",
+                   help="color tokens by confidence (red..green, the "
+                        "reference main CLI's probability colors)")
     p.add_argument("--no-prints", action="store_true")
     return p
 
@@ -139,8 +142,20 @@ def main(argv: List[str] = None) -> int:
 
         if not args.no_prints:
             for s in segments:
-                print(f"[{outputs._ts(s.t0)} --> {outputs._ts(s.t1)}] "
-                      f"{s.text.strip()}")
+                head = f"[{outputs._ts(s.t0)} --> {outputs._ts(s.t1)}] "
+                if args.print_colors:
+                    # probability-colored tokens (reference
+                    # examples/main/main.cpp:17-22, 320-325: 10-step
+                    # red->green ramp indexed by p^3)
+                    body = "".join(
+                        f"{outputs.color_for_p(td.p)}"
+                        f"{ctx.token_to_str(td.id)}\033[0m"
+                        for td in s.tokens
+                        if args.print_special
+                        or td.id < ctx.config.token_eot)
+                    print(head + body.strip())
+                else:
+                    print(head + s.text.strip())
 
         base = args.output_file or path
         writers = [

@@ -26,6 +26,19 @@ def _ts(t: int, comma: bool = False) -> str:
     return f"{hr:02d}:{mins:02d}:{sec:02d}{sep}{msec:03d}"
 
 
+# Terminal confidence ramp — red (low p) to green (high p), indexed by
+# p^3 into 10 buckets (reference examples/main/main.cpp:17-22, :322)
+K_COLORS = ["\033[38;5;196m", "\033[38;5;202m", "\033[38;5;208m",
+            "\033[38;5;214m", "\033[38;5;220m", "\033[38;5;226m",
+            "\033[38;5;190m", "\033[38;5;154m", "\033[38;5;118m",
+            "\033[38;5;82m"]
+
+
+def color_for_p(p: float) -> str:
+    i = int((max(0.0, min(1.0, p)) ** 3) * len(K_COLORS))
+    return K_COLORS[max(0, min(len(K_COLORS) - 1, i))]
+
+
 def to_txt(segments: List[Segment]) -> str:
     return "".join(s.text for s in segments).strip() + "\n"
 

@@ -49,6 +49,28 @@ def test_cli_transcribe_outputs(pico_bin, tmp_path, rng):
     assert "transcription" in data
 
 
+def test_cli_print_colors(pico_bin, tmp_path, rng, capsys):
+    """--print-colors: tokens wrapped in the reference's 10-step
+    confidence ramp ANSI codes (examples/main/main.cpp:17-22,:322)."""
+    from godot_whisper_tpu.audio.wav import write_wav
+    from godot_whisper_tpu.cli.main import main
+    from godot_whisper_tpu.cli.outputs import K_COLORS, color_for_p
+
+    assert color_for_p(0.0) == K_COLORS[0]
+    assert color_for_p(1.0) == K_COLORS[-1]
+    assert color_for_p(0.8) == K_COLORS[int(0.8 ** 3 * 10)]
+
+    wav = str(tmp_path / "c.wav")
+    t = np.arange(2 * 16000) / 16000.0
+    write_wav(wav, (0.3 * np.sin(2 * np.pi * 300 * t)).astype(np.float32))
+    rc = main(["-m", pico_bin, wav, "--print-colors",
+               "--temperature-inc", "0", "--best-of", "1",
+               "--entropy-thold=-1e9", "--logprob-thold=-1e9"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "\033[38;5;" in out and "\033[0m" in out
+
+
 def test_quantize_roundtrip(pico_bin, tmp_path):
     from godot_whisper_tpu.cli.quantize import main as qmain
     from godot_whisper_tpu.models.loader_ggml import read_checkpoint
