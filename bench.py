@@ -306,6 +306,13 @@ def main() -> None:
             out["large_v3_int8_batch8_throughput_audio_s_per_s"] = round(
                 _batch_throughput(lqctx, tp, 8, min(audio_seconds, 60.0),
                                   n_batches=2), 1)
+            # int8 weights + int8 cross-KV: the cross-attention KV read
+            # (~250 MB/step at B=1) is untouched by weight quantization
+            tpx = gwt.TranscribeParams(best_of=1, temperature_inc=0.0,
+                                       print_progress=False,
+                                       cross_kv_int8=True)
+            out["large_v3_int8x_single_rtf"] = round(
+                _single_rtf(lqctx, tpx, laudio, n=2), 2)
             del lqctx
             l4ctx = _load_ctx("large-v3", "int4", on_device=True)
             out["large_v3_int4_single_rtf"] = round(

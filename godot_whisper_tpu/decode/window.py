@@ -264,7 +264,8 @@ def _sample_beam(st: LoopState, statics: WindowStatics, fctx: FilterContext):
     if st.rowmap is not None:
         K_ = statics.beam_size
         own = (jnp.arange(B, dtype=jnp.int32) % K_)
-        new_rowmap = st.rowmap[src].at[:, st.i].set(own)
+        new_rowmap = lax.dynamic_update_slice(
+            st.rowmap[src], own[:, None], (jnp.int32(0), st.i))
         st = st._replace(rowmap=new_rowmap)
     else:
         hi_live = statics.prompt_pad + st.i
