@@ -370,10 +370,13 @@ class MelFrontend:
     @staticmethod
     @functools.lru_cache(maxsize=1)
     def _host_mel() -> bool:
-        """Compute mel on host + ship f16 frames instead of audio.
+        """Compute mel on host + ship f16 frames instead of audio —
+        the BATCH/throughput policy.
 
         Default ON for slow host->device links (relay-tunneled runtimes
-        measure ~29 MB/s; mel is half the bytes of the audio it encodes),
+        measure ~29 MB/s; mel is half the bytes of the audio it encodes
+        AND the batch pipeline computes it in a prefetch thread that
+        overlaps the previous batch's decode, so its CPU cost hides),
         OFF for locally-attached accelerators (PCIe uploads audio faster
         than a host CPU computes mel).  Force with GWT_HOST_MEL=0/1.
         """
@@ -382,6 +385,24 @@ class MelFrontend:
         if v is not None:
             return v == "1"
         return MelFrontend._link_bw() < 200e6
+
+    @staticmethod
+    @functools.lru_cache(maxsize=1)
+    def _host_mel_single() -> bool:
+        """Host-mel policy for ONE-SHOT single-clip latency, where the
+        host FFT (~3.3 ms per audio-second, measured t_mel ~200 ms for a
+        60 s clip) is on the critical path with nothing to hide behind.
+        Device mel costs only the 2x audio upload (f16 PCM) plus ~0.3 ms
+        of MXU work, so it wins whenever
+        ``link > audio_bytes/s / host_mel_s/s ~= 10 MB/s`` — host mel
+        engages only on links slower than that (r5 finding: the old
+        single-clip host-mel default burned ~370 us/step-e2e of
+        large-v3's per-token budget at a 30-40 MB/s link)."""
+        import os
+        v = os.environ.get("GWT_HOST_MEL")
+        if v is not None:
+            return v == "1"
+        return MelFrontend._link_bw() < 12e6
 
     def _filt256(self):
         if self._filt256_cache is None:
@@ -401,7 +422,7 @@ class MelFrontend:
         padded = pad_audio(samples)
         # Bucket the padded length to 30 s multiples to bound jit cache size.
         bucket = -(-len(padded) // _CHUNK) * _CHUNK
-        if self._host_mel():
+        if self._host_mel_single():
             # slow-link path: RAW log-mel computed host-side in ~30 s
             # chunks with each chunk's f16 upload riding the wire while
             # the next chunk FFTs; the clip-global max-8 clamp +

@@ -326,7 +326,7 @@ class ClipDecoder:
                  and statics.temps[0] < 1e-6)
         wst0 = wst("beam" if beam0 else "greedy",
                    argmax=statics.temps[0] < 1e-6,
-                   fused=statics.fused and not beam0)
+                   fused=statics.fused)
         wstS = wst("greedy", argmax=False, fused=statics.fused)
 
         def active_mask(st: ClipState) -> jax.Array:

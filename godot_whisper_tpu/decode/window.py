@@ -134,9 +134,10 @@ class WindowStatics:
     # throughput mode the reference cannot express (its parallelism is one
     # host thread per chunk, whisper.cpp:5817-5930).  Greedy only.
     per_stream: bool = False
-    # fused: greedy path runs the ops/filter_sample.py Pallas kernel —
-    # the whole filter+sample stage as ONE program instead of ~35 VPU
-    # kernels per step.  TPU-only; beam/CPU keep the jnp stack.
+    # fused: the filter+sample (greedy) or filter+top-K-expansion (beam)
+    # stage runs as ONE ops/filter_sample.py Pallas program over carried
+    # RAW logits, instead of ~35 VPU kernels + two carried (B, V)
+    # distributions per step.  TPU-only; CPU keeps the jnp stack.
     fused: bool = False
     # kv_group: consecutive groups of kv_group batch rows (the decoders /
     # beams of one stream) share a single cross-KV row — the batched clip
@@ -188,19 +189,33 @@ def _sample_greedy(st: LoopState, statics: WindowStatics, fctx: FilterContext,
 
 
 def _sample_beam(st: LoopState, statics: WindowStatics, fctx: FilterContext):
-    """Beam expansion + merge (whisper.cpp:5327-5419), GROUPED: the batch
+    """Beam candidate generation from the carried (B, V) filtered
+    distributions (the jnp filter-stack path; the fused Pallas path
+    builds candidates in-kernel — run_decode_loop.sample_beam_fused)."""
+    K = statics.beam_size
+    rows = jnp.arange(statics.batch)
+    cand_plog, cand_ids = lax.top_k(st.logprobs, K)        # (B, K)
+    cand_p = st.probs[rows[:, None], cand_ids]
+    pt0, ptsum0, tid0 = timestamp_stats(st.probs, fctx.token_beg)
+    return _merge_beam(st, statics, fctx, cand_plog, cand_ids, cand_p,
+                       pt0, ptsum0, tid0)
+
+
+def _merge_beam(st: LoopState, statics: WindowStatics, fctx: FilterContext,
+                cand_plog, cand_ids, cand_p, pt0, ptsum0, tid0):
+    """Beam merge (whisper.cpp:5327-5419), GROUPED: the batch
     is G independent beam groups of K rows each (G = batch // beam_size;
     the single-stream host path is the G=1 special case, the batched clip
     loop runs G = n_streams groups in one program — the reference's
     analogue is one whisper_state per thread, each with its own beam
-    pool, whisper.cpp:5817-5930)."""
+    pool, whisper.cpp:5817-5930).  ``cand_*`` are the per-row top-K
+    expansion candidates; ``pt0/ptsum0/tid0`` the pre-merge per-row
+    timestamp stats (gathered through ``src`` below)."""
     B, K = statics.batch, statics.beam_size
     G = B // K
     rows = jnp.arange(B)
     live = ~(st.completed | st.failed)
 
-    # top-k candidates per live beam
-    cand_plog, cand_ids = lax.top_k(st.logprobs, K)        # (B, K)
     cand_scores = st.sum_logprobs_all[:, None] + cand_plog  # (B, K)
     cand_scores = jnp.where(live[:, None], cand_scores, -jnp.inf)
 
@@ -285,8 +300,10 @@ def _sample_beam(st: LoopState, statics: WindowStatics, fctx: FilterContext):
         result_len=st.result_len[src],
     )
 
-    p = st.probs[src, jnp.where(live, ids, 0)]
-    pt0, ptsum0, tid0 = timestamp_stats(st.probs, fctx.token_beg)
+    # chosen candidate's probability from its SOURCE row's distribution:
+    # cand_p[(src row, cand k)] == probs[src, ids] (probs = exp(logprobs))
+    p = jnp.take_along_axis(cand_p.reshape(G, n), chosen_flat,
+                            axis=1).reshape(B)
     pt, ptsum, tid = pt0[src], ptsum0[src], tid0[src]
     is_ts = ids >= fctx.token_beg
     tid = jnp.where(is_ts, ids, tid)
@@ -429,6 +446,35 @@ def run_decode_loop(params, config: WhisperConfig, fctx: FilterContext,
                 return (rows, out.token, out.p, out.plog, out.pt, out.ptsum,
                         out.tid, new_sum, st, st.rng)
 
+            def sample_beam_fused(st: LoopState):
+                """Fused beam pre-merge: the whole filter stack +
+                log-softmax + top-K expansion + ts stats as ONE Pallas
+                program over the carried RAW logits (replaces ~35 VPU
+                kernels, a (B, V) top_k, and the 2x(B, V) carried
+                distributions per step)."""
+                from ..ops.filter_sample import fused_filter_topk
+                i = st.i
+                rows = jnp.arange(B)
+                last = jnp.where(i > 0,
+                                 st.tokens[rows, jnp.maximum(i - 1, 0)], -1)
+                penult = jnp.where(i > 1,
+                                   st.tokens[rows, jnp.maximum(i - 2, 0)],
+                                   -1)
+                out = fused_filter_topk(
+                    st.probs, suppress_mask, K=statics.beam_size,
+                    is_initial=jnp.full((B,), i == 0),
+                    last_token=last, penult_token=penult,
+                    n_tokens=jnp.full((B,), i, jnp.int32),
+                    has_ts=st.has_ts, seek_delta=st.seek_delta,
+                    temperature=temperature,
+                    eot=fctx.token_eot, beg=fctx.token_beg,
+                    space_id=fctx.space_id,
+                    max_initial_tid=fctx.max_initial_tid,
+                    suppress_blank=statics.suppress_blank,
+                    no_timestamps=statics.no_timestamps)
+                return _merge_beam(st, statics, fctx, out.plog, out.ids,
+                                   out.p, out.pt, out.ptsum, out.tid)
+
             zero_b = jnp.zeros((B,), jnp.int32)
             if statics.fused:
                 # raw logits carried; filtering happens inside the fused
@@ -496,8 +542,12 @@ def run_decode_loop(params, config: WhisperConfig, fctx: FilterContext,
                 was_done = st.completed | st.failed
 
                 if statics.strategy == "beam":
-                    (src, ids, p, plog, pt, ptsum, tid, new_sum, st,
-                     rng) = _sample_beam(st, statics, fctx)
+                    if statics.fused:
+                        (src, ids, p, plog, pt, ptsum, tid, new_sum, st,
+                         rng) = sample_beam_fused(st)
+                    else:
+                        (src, ids, p, plog, pt, ptsum, tid, new_sum, st,
+                         rng) = _sample_beam(st, statics, fctx)
                 elif statics.fused:
                     (src, ids, p, plog, pt, ptsum, tid, new_sum, st,
                      rng) = sample_fused(st)
@@ -685,7 +735,7 @@ class WindowDecoder:
             suppress_blank=suppress_blank, no_timestamps=no_timestamps,
             single_segment=single_segment, max_tokens=max_tokens,
             test_mode=test_mode,
-            fused=(strategy == "greedy" and use_pallas()))
+            fused=use_pallas())
 
         fn = self._cache.get(statics)
         if fn is None:
