@@ -105,6 +105,21 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array,
     return out
 
 
+def _self_qkv(h: jax.Array, attn) -> Tuple[jax.Array, jax.Array,
+                                           jax.Array]:
+    """Self-attention q/k/v projections.  Quantized decoders carry ONE
+    fused (S, 3S) weight (models/quant._fuse_self_qkv) — a single
+    kernel dispatch instead of three, bit-identical math (per-output-
+    channel scales; K's zero bias added explicitly)."""
+    if "wqkv" in attn:
+        y = _proj(h, attn["wqkv"], attn["bqkv"])
+        s = y.shape[-1] // 3
+        return y[..., :s], y[..., s:2 * s], y[..., 2 * s:]
+    return (_proj(h, attn["wq"], attn["bq"]),
+            _proj(h, attn["wk"]),
+            _proj(h, attn["wv"], attn["bv"]))
+
+
 def _proj(x: jax.Array, w, b: Optional[jax.Array] = None,
           out_dtype=None) -> jax.Array:
     if isinstance(w, (QuantTensor, Quant4Tensor)):
@@ -160,18 +175,60 @@ def encoder_forward(params: Params, config: WhisperConfig,
 
     blocks = enc["blocks"]
 
-    from ..ops.attention import flash_attention
+    from ..ops.attention import (_FLASH_MIN_BH, _enc_attn_mode,
+                                 flash_attention, flash_attention_bh,
+                                 use_pallas)
+
+    b_sz = x.shape[0]
+    mode = _enc_attn_mode()
+    # head-major path: the q/k/v projections write (B, H, T, D) directly
+    # (the head transpose folds INTO the projection einsums, and the
+    # out-proj folds it back) so the flash kernel sees its (BH, T, D)
+    # layout for free — an explicit transpose around the kernel measured
+    # as expensive as the kernel itself (r5 on-chip A/B: bare kernel
+    # 1034 us vs 2313 us through the transposing wrapper at large-v3 b8)
+    head_major = use_pallas() and (
+        mode == "flash" or (mode != "einsum"
+                            and b_sz * n_head >= _FLASH_MIN_BH))
+
+    def block_head_major(x, attn):
+        h = x  # already layer-normed by caller
+        c = h.shape[-1]
+        d = c // n_head
+        t = h.shape[1]
+        q = (jnp.einsum("btc,chd->bhtd", h,
+                        attn["wq"].reshape(c, n_head, d),
+                        preferred_element_type=jnp.float32)
+             + attn["bq"].reshape(n_head, 1, d)).astype(cdtype)
+        k = jnp.einsum("btc,chd->bhtd", h,
+                       attn["wk"].reshape(c, n_head, d),
+                       preferred_element_type=jnp.float32).astype(cdtype)
+        v = (jnp.einsum("btc,chd->bhtd", h,
+                        attn["wv"].reshape(c, n_head, d),
+                        preferred_element_type=jnp.float32)
+             + attn["bv"].reshape(n_head, 1, d)).astype(cdtype)
+        bh = b_sz * n_head
+        o = flash_attention_bh(q.reshape(bh, t, d), k.reshape(bh, t, d),
+                               v.reshape(bh, t, d))
+        o = o.reshape(b_sz, n_head, t, d).astype(cdtype)
+        return (jnp.einsum("bhtd,hdo->bto", o,
+                           attn["wo"].reshape(n_head, d, c),
+                           preferred_element_type=jnp.float32)
+                + attn["bo"]).astype(cdtype)
 
     def block(x, layer):
         ln0, attn, ln1, mlp = (layer["attn_ln"], layer["attn"],
                                layer["mlp_ln"], layer["mlp"])
         h = layer_norm(x, ln0["g"], ln0["b"]).astype(cdtype)
-        q = _heads(_proj(h, attn["wq"], attn["bq"]), n_head)
-        k = _heads(_proj(h, attn["wk"]), n_head)
-        v = _heads(_proj(h, attn["wv"], attn["bv"]), n_head)
-        # dense self-attention via the Pallas flash kernel (einsum on CPU)
-        o = _merge_heads(flash_attention(q, k, v)).astype(cdtype)
-        x = x + _proj(o, attn["wo"], attn["bo"], out_dtype=cdtype)
+        if head_major:
+            x = x + block_head_major(h, attn)
+        else:
+            q = _heads(_proj(h, attn["wq"], attn["bq"]), n_head)
+            k = _heads(_proj(h, attn["wk"]), n_head)
+            v = _heads(_proj(h, attn["wv"], attn["bv"]), n_head)
+            # dense self-attention (Pallas flash kernel; einsum on CPU)
+            o = _merge_heads(flash_attention(q, k, v)).astype(cdtype)
+            x = x + _proj(o, attn["wo"], attn["bo"], out_dtype=cdtype)
 
         h = layer_norm(x, ln1["g"], ln1["b"]).astype(cdtype)
         h = jax.nn.gelu(_proj(h, mlp["w0"], mlp["b0"]), approximate=False)
@@ -405,9 +462,7 @@ def decoder_dense(
         layer, kv_k, kv_v, xkv_l = inputs
         ln0, attn = layer["attn_ln"], layer["attn"]
         h = layer_norm(x, ln0["g"], ln0["b"]).astype(cdtype)
-        q = _proj(h, attn["wq"], attn["bq"])
-        k_new = _proj(h, attn["wk"])
-        v_new = _proj(h, attn["wv"], attn["bv"])
+        q, k_new, v_new = _self_qkv(h, attn)
 
         # batch-uniform slice write at [start, start+T) — never a scatter
         kv_k = lax.dynamic_update_slice_in_dim(
@@ -523,9 +578,7 @@ def decoder_step(
         layer, l_idx = inputs
         ln0, attn = layer["attn_ln"], layer["attn"]
         h = layer_norm(x, ln0["g"], ln0["b"]).astype(cdtype)
-        q = _proj(h, attn["wq"], attn["bq"])
-        k_new = _proj(h, attn["wk"])
-        v_new = _proj(h, attn["wv"], attn["bv"])
+        q, k_new, v_new = _self_qkv(h, attn)
 
         # in-place single-slot write into the scan-carried full cache
         kv_k = lax.dynamic_update_slice(

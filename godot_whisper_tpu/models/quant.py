@@ -31,9 +31,25 @@ Params = Dict[str, Any]
 _BLOCK_WEIGHT_KEYS = ("wq", "wk", "wv", "wo", "w0", "w1")
 
 
+def _fuse_self_qkv(attn: Dict[str, Any], quantize_fn) -> Dict[str, Any]:
+    """Fuse the self-attention q/k/v projections into ONE weight for the
+    quantized decode path: (L, S, 3S) wqkv + (L, 3S) bqkv (bk = 0 — K
+    has no bias, whisper.cpp:1839-1842).  Per-output-channel scales make
+    quantize(concat) == concat(quantize) exactly, so this is bit-
+    identical to three separate projections while cutting 2 kernel
+    dispatches per layer per token — at large-v3 B=1 the int8 step is
+    dispatch-bound (~300 Pallas calls/step, r5 job 091/093)."""
+    import jax.numpy as jnp
+    wqkv = jnp.concatenate([attn["wq"], attn["wk"], attn["wv"]], axis=-1)
+    bqkv = jnp.concatenate(
+        [attn["bq"], jnp.zeros_like(attn["bq"]), attn["bv"]], axis=-1)
+    return {"wqkv": quantize_fn(wqkv), "bqkv": bqkv}
+
+
 def quantize_decoder_int8(params: Params) -> Params:
     """Return a copy of the param pytree with decoder matmul weights and
-    the token embedding as int8 QuantTensors.  Idempotent."""
+    the token embedding as int8 QuantTensors (self qkv fused into one
+    weight — see _fuse_self_qkv).  Idempotent."""
     dec = params["decoder"]
     new_blocks: Dict[str, Any] = {}
     for group, sub in dec["blocks"].items():
@@ -43,6 +59,12 @@ def quantize_decoder_int8(params: Params) -> Params:
                 new_sub[k] = quantize_tensor(v, reduce_axis=1)
             else:
                 new_sub[k] = v
+        if group == "attn" and "wq" in sub and not isinstance(
+                sub["wq"], QuantTensor):
+            for k in ("wq", "wk", "wv", "bq", "bv"):
+                new_sub.pop(k, None)
+            new_sub.update(_fuse_self_qkv(
+                sub, lambda w: quantize_tensor(w, reduce_axis=1)))
         new_blocks[group] = new_sub
 
     te = dec["token_embed"]
@@ -82,6 +104,18 @@ def quantize_decoder_int4(params: Params, *, group: int = 128) -> Params:
                     int8_fallbacks.append(f"{grp}.{k}")
             else:
                 new_sub[k] = v
+        if grp == "attn" and "wq" in sub and not isinstance(
+                sub["wq"], (QuantTensor, Quant4Tensor)):
+            for k in ("wq", "wk", "wv", "bq", "bv"):
+                new_sub.pop(k, None)
+            s_in = sub["wq"].shape[-2]
+            if s_in % group == 0:
+                new_sub.update(_fuse_self_qkv(
+                    sub, lambda w: quantize_tensor4(w, group=group)))
+            else:
+                new_sub.update(_fuse_self_qkv(
+                    sub, lambda w: quantize_tensor(w, reduce_axis=1)))
+                int8_fallbacks.append(f"{grp}.wqkv")
         new_blocks[grp] = new_sub
     if int8_fallbacks:
         from ..runtime.logging import log_warn
@@ -120,7 +154,7 @@ def quant_mode(params: Params) -> Dict[str, str]:
     out = {"token_embed": kind(params["decoder"]["token_embed"])}
     for grp, sub in params["decoder"]["blocks"].items():
         for k, v in sub.items():
-            if k in _BLOCK_WEIGHT_KEYS:
+            if k in _BLOCK_WEIGHT_KEYS or k == "wqkv":
                 out[f"blocks.{grp}.{k}"] = kind(v)
     return out
 

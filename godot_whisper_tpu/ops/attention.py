@@ -49,7 +49,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_pad: int,
     path performs.  An earlier revision upcast q/k/v to f32 before the
     dots; MXU f32 passes run at ~1/4 the bf16 rate, which capped the
     kernel at a flat 28% of the bf16 roofline across every shape
-    (KERNELS_r04.json).  Softmax bookkeeping stays f32."""
+    (KERNELS_r04.json); with bf16 dots the bare kernel measures
+    93 TFLOPS = 0.47 roofline at (160, 1536, 64).  Softmax bookkeeping
+    stays f32.  The (BH, T, D) operand layout is produced for FREE by
+    the encoder's head-major projections (models/model.py folds the
+    head transpose into the q/k/v and out-proj einsums — an explicit
+    (B, T, H, D) -> (BH, T, D) transpose around the kernel measured as
+    expensive as the kernel itself)."""
     cdt = q_ref.dtype if q_ref.dtype == jnp.bfloat16 else jnp.float32
     q = q_ref[0].astype(cdt)                        # (BQ, D)
     bq, d = q.shape
@@ -84,7 +90,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_pad: int,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "t_valid"))
-def _flash_bhtd(q: jax.Array, k: jax.Array, v: jax.Array,
+def _flash_bthd(q: jax.Array, k: jax.Array, v: jax.Array,
                 scale: float, t_valid: int) -> jax.Array:
     """(BH, T_pad, D) flash attention with key masking beyond t_valid."""
     bh, t, d = q.shape
@@ -112,6 +118,24 @@ def _flash_bhtd(q: jax.Array, k: jax.Array, v: jax.Array,
             transcendentals=bh * t * t),
         interpret=os.environ.get("GWT_PALLAS_INTERPRET") == "1",
     )(q, k, v)
+
+
+def flash_attention_bh(q: jax.Array, k: jax.Array,
+                       v: jax.Array) -> jax.Array:
+    """Head-major entry: (BH, T, D) in, (BH, T, D) out — for callers
+    whose projections already produce head-major activations (the
+    encoder), so NO layout transpose exists on the path.  Pads T to the
+    kernel block (masked); einsum fallback off-TPU."""
+    bh, t, d = q.shape
+    scale = float(1.0 / (d ** 0.5))
+    mode = _enc_attn_mode()
+    use_flash = use_pallas() and mode != "einsum"
+    if not use_flash:
+        return _einsum_attention(q, k, v, scale)
+    t_pad = -(-t // _BLOCK_K) * _BLOCK_K
+    pad = [(0, 0), (0, t_pad - t), (0, 0)]
+    qp, kp, vp = (jnp.pad(x, pad) for x in (q, k, v))
+    return _flash_bthd(qp, kp, vp, scale, t)[:, :t]
 
 
 def _einsum_attention(q, k, v, scale):
@@ -178,5 +202,5 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     t_pad = -(-t // _BLOCK_K) * _BLOCK_K
     pad = [(0, 0), (0, t_pad - t), (0, 0), (0, 0)]
     qp, kp, vp = (jnp.pad(x, pad) for x in (q, k, v))
-    out = _flash_bhtd(to_bh(qp), to_bh(kp), to_bh(vp), scale, t)
+    out = _flash_bthd(to_bh(qp), to_bh(kp), to_bh(vp), scale, t)
     return from_bh(out, t_pad)[:, :t]

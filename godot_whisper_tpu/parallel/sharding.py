@@ -49,6 +49,11 @@ def _attn_pspecs() -> Dict[str, P]:
         "wk": P(None, None, "tp"),
         "wv": P(None, None, "tp"), "bv": P(None, "tp"),
         "wo": P(None, "tp", None), "bo": P(None, None),
+        # fused qkv of quantized decoders (models/quant._fuse_self_qkv):
+        # out-axis column shard — each tp shard's columns are
+        # independent, so the interleaved q|k|v grouping stays exact
+        # (the q/k/v slices reshard via GSPMD where consumed)
+        "wqkv": P(None, None, "tp"), "bqkv": P(None, "tp"),
     }
 
 

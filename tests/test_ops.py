@@ -17,7 +17,7 @@ def interpret_mode(monkeypatch):
     yield
     # jit caches are keyed on traced consts; clear to avoid leaking the
     # interpreter-mode executable into other tests
-    attention._flash_bhtd.clear_cache()
+    attention._flash_bthd.clear_cache()
 
 
 def test_flash_attention_matches_einsum(interpret_mode):
@@ -189,3 +189,29 @@ def test_cross_attention_quant_fallback_matches_oracle():
                                     jnp.bfloat16).astype(jnp.float32)),
                                 v_q, v_s, H, t_valid)
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+def test_encoder_head_major_matches_merged(interpret_mode):
+    """The head-major encoder attention path (projection-folded
+    transposes + (BH, T, D) flash kernel) must match the merged-layout
+    einsum path."""
+    import godot_whisper_tpu as gwt
+    from godot_whisper_tpu.models.model import encoder_forward
+    from godot_whisper_tpu.models.params import init_params
+
+    cfg = gwt.get_config("tiny.en").replace(
+        n_audio_layer=2, n_text_layer=1, n_audio_state=128, n_audio_head=4,
+        n_text_state=128, n_text_head=4, name="nano")
+    params = init_params(cfg, seed=0, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((4, 256, 80)), jnp.float32)
+
+    os.environ["GWT_ENC_ATTN"] = "flash"   # head-major (B*H=16 >= min)
+    try:
+        got = encoder_forward(params, cfg, mel, audio_ctx=128)
+    finally:
+        os.environ.pop("GWT_ENC_ATTN", None)
+    os.environ.pop("GWT_PALLAS_INTERPRET", None)
+    want = encoder_forward(params, cfg, mel, audio_ctx=128)  # einsum path
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-3, rtol=5e-3)

@@ -79,8 +79,13 @@ def test_quantize_decoder_tree(cfg):
     assert is_quantized(pq) and not is_quantized(p)
     assert param_compute_dtype(pq) == jnp.bfloat16
     dec = pq["decoder"]["blocks"]
-    for grp in ("attn", "cross_attn"):
-        for k in ("wq", "wk", "wv", "wo"):
+    # self qkv FUSED into one weight (models/quant._fuse_self_qkv)
+    assert isinstance(dec["attn"]["wqkv"], QuantTensor)
+    assert dec["attn"]["wqkv"].q.dtype == jnp.int8
+    assert "wq" not in dec["attn"] and "bv" not in dec["attn"]
+    for grp, keys in (("attn", ("wo",)),
+                      ("cross_attn", ("wq", "wk", "wv", "wo"))):
+        for k in keys:
             assert isinstance(dec[grp][k], QuantTensor)
             assert dec[grp][k].q.dtype == jnp.int8
     assert isinstance(pq["decoder"]["token_embed"], QuantTensor)
@@ -134,11 +139,15 @@ def test_quantized_sharding(cfg):
     p = quantize_decoder_int8(init_params(cfg, seed=0))
     mesh = make_mesh(dp=2, tp=4)
     sp = shard_params(p, mesh, cfg)
-    wq = sp["decoder"]["blocks"]["attn"]["wq"]
+    wq = sp["decoder"]["blocks"]["cross_attn"]["wq"]
     assert wq.q.dtype == jnp.int8
     assert wq.q.sharding.spec == jax.sharding.PartitionSpec(
         None, None, "tp")
     assert wq.s.sharding.spec == jax.sharding.PartitionSpec(None, "tp")
+    wqkv = sp["decoder"]["blocks"]["attn"]["wqkv"]
+    assert wqkv.q.sharding.spec == jax.sharding.PartitionSpec(
+        None, None, "tp")
+    assert wqkv.s.sharding.spec == jax.sharding.PartitionSpec(None, "tp")
     # out-proj is input-sharded; its scales stay replicated
     wo = sp["decoder"]["blocks"]["attn"]["wo"]
     assert wo.s.sharding.spec == jax.sharding.PartitionSpec(None, None)
@@ -197,20 +206,23 @@ def test_quantize_decoder_int4_tree(cfg):
     assert is_quantized(pq)
     dec = pq["decoder"]["blocks"]
     # nano config: every contraction dim divides 128 -> all int4
-    for grp in ("attn", "cross_attn"):
-        for k in ("wq", "wk", "wv", "wo"):
+    assert isinstance(dec["attn"]["wqkv"], Quant4Tensor)
+    for grp, keys in (("attn", ("wo",)),
+                      ("cross_attn", ("wq", "wk", "wv", "wo"))):
+        for k in keys:
             assert isinstance(dec[grp][k], Quant4Tensor), (grp, k)
     # token embedding stays int8 (per-row scales serve gather + logits)
     assert isinstance(pq["decoder"]["token_embed"], QuantTensor)
     modes = quant_mode(pq)
     assert modes["token_embed"] == "int8"
-    assert modes["blocks.attn.wq"] == "int4"
+    assert modes["blocks.attn.wqkv"] == "int4"
     assert modes["blocks.mlp.w1"] == "int4"
     # stacked (scan) shapes preserved: leading layer axis intact
-    assert dec["attn"]["wq"].q.shape[0] == cfg.n_text_layer
+    assert dec["attn"]["wqkv"].q.shape[0] == cfg.n_text_layer
     # idempotent
     pq2 = quantize_decoder_int4(pq)
-    assert pq2["decoder"]["blocks"]["attn"]["wq"].q is dec["attn"]["wq"].q
+    assert (pq2["decoder"]["blocks"]["attn"]["wqkv"].q
+            is dec["attn"]["wqkv"].q)
 
 
 def test_quantize_decoder_int4_fallback_reported():
@@ -221,7 +233,7 @@ def test_quantize_decoder_int4_fallback_reported():
     p = init_params(cfg_odd, seed=0)
     pq = quantize_decoder_int4(p)
     modes = quant_mode(pq)
-    assert modes["blocks.attn.wq"] == "int8"   # fell back, discoverable
+    assert modes["blocks.attn.wqkv"] == "int8"  # fell back, discoverable
     assert modes["blocks.mlp.w1"] == "int4"    # 4*96=384 divides 128
 
 
@@ -277,8 +289,8 @@ def test_int4_sharding(cfg):
     mesh = make_mesh(dp=2, tp=4)
     sp = shard_params(p, mesh, cfg)
     P = jax.sharding.PartitionSpec
-    wq = sp["decoder"]["blocks"]["attn"]["wq"]   # (L, S/2, O) out-sharded
-    assert wq.q.dtype == jnp.uint8
+    wq = sp["decoder"]["blocks"]["attn"]["wqkv"]  # (L, S/2, 3O) fused,
+    assert wq.q.dtype == jnp.uint8                # out-sharded
     assert wq.q.sharding.spec == P(None, None, "tp")
     assert wq.s.sharding.spec == P(None, None, "tp")
     # contraction-sharded w1 (S=4*128=512, n_g=4, tp=4): whole groups per

@@ -103,14 +103,34 @@ def test_sharded_train_step(cfg, unsharded, rng):
 
 
 def test_pspecs_cover_param_tree(cfg, unsharded):
-    """Every leaf has a matching PartitionSpec of the right rank."""
+    """Every leaf has a matching PartitionSpec of the right rank.  The
+    spec tree may carry EXTRA keys that only exist in quantized trees
+    (the fused wqkv/bqkv leaves) — quantize_pspecs prunes to the actual
+    param structure."""
     specs = param_pspecs(cfg)
     flat_p = jax.tree_util.tree_leaves_with_path(unsharded)
     flat_s = jax.tree_util.tree_leaves_with_path(specs)
     paths_p = {jax.tree_util.keystr(k) for k, _ in flat_p}
     paths_s = {jax.tree_util.keystr(k) for k, _ in flat_s}
-    assert paths_p == paths_s
+    assert paths_p <= paths_s, paths_p - paths_s
+    extra = paths_s - paths_p
+    assert all(("wqkv" in e or "bqkv" in e) for e in extra), extra
     spec_by_path = {jax.tree_util.keystr(k): v for k, v in flat_s}
     for k, leaf in flat_p:
         spec = spec_by_path[jax.tree_util.keystr(k)]
         assert len(spec) <= leaf.ndim, (k, spec, leaf.shape)
+
+
+def test_pspecs_cover_quantized_fused_tree(cfg, unsharded):
+    """The FUSED int8 tree (wqkv/bqkv replace self wq/wk/wv/bq/bv) gets
+    an exactly-matching pruned spec tree."""
+    from godot_whisper_tpu.models.quant import quantize_decoder_int8
+    from godot_whisper_tpu.parallel.sharding import quantize_pspecs
+
+    pq = quantize_decoder_int8(unsharded)
+    specs = quantize_pspecs(param_pspecs(cfg), pq)
+    flat_p = {jax.tree_util.keystr(k) for k, _ in
+              jax.tree_util.tree_leaves_with_path(pq)}
+    flat_s = {jax.tree_util.keystr(k) for k, _ in
+              jax.tree_util.tree_leaves_with_path(specs)}
+    assert flat_p == flat_s
