@@ -191,6 +191,24 @@ def encoder_forward(params: Params, config: WhisperConfig,
         mode == "flash" or (mode != "einsum"
                             and b_sz * n_head >= _FLASH_MIN_BH))
 
+    # PAD-NATIVE residual stream: the flash kernel needs T in 512-blocks;
+    # padding q/k/v and slicing the output around EVERY layer's kernel
+    # call costs ~4 full-activation HBM round trips per layer (measured
+    # r5: 2332 us through the per-call-padding wrapper vs 1034 us bare
+    # kernel at large-v3 b8).  Instead pad x ONCE after the positional
+    # add and run every block at T_pad with key masking (t_valid); the
+    # padded rows carry harmless garbage (row-local LN/MLP; their K
+    # columns are masked) and are sliced off once at the end.  Only
+    # engaged when the pad waste is small (1500 -> 1536 = 2.4%); reduced
+    # streaming audio_ctx values that would pad badly keep the per-call
+    # wrapper path.
+    t_real = n_ctx
+    t_pad_enc = -(-n_ctx // 512) * 512
+    pad_native = head_major and t_pad_enc != n_ctx \
+        and (t_pad_enc - n_ctx) * 10 <= n_ctx
+    if pad_native:
+        x = jnp.pad(x, [(0, 0), (0, t_pad_enc - n_ctx), (0, 0)])
+
     def block_head_major(x, attn):
         h = x  # already layer-normed by caller
         c = h.shape[-1]
@@ -209,7 +227,8 @@ def encoder_forward(params: Params, config: WhisperConfig,
              + attn["bv"].reshape(n_head, 1, d)).astype(cdtype)
         bh = b_sz * n_head
         o = flash_attention_bh(q.reshape(bh, t, d), k.reshape(bh, t, d),
-                               v.reshape(bh, t, d))
+                               v.reshape(bh, t, d),
+                               t_valid=t_real if pad_native else None)
         o = o.reshape(b_sz, n_head, t, d).astype(cdtype)
         return (jnp.einsum("bhtd,hdo->bto", o,
                            attn["wo"].reshape(n_head, d, c),
@@ -236,6 +255,8 @@ def encoder_forward(params: Params, config: WhisperConfig,
         return (x + h).astype(cdtype), None
 
     x, _ = lax.scan(lambda carry, layer: block(carry, layer), x, blocks)
+    if pad_native:
+        x = x[:, :t_real]
     x = layer_norm(x, enc["ln_post"]["g"], enc["ln_post"]["b"])
     return x.astype(cdtype)
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import functools
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -120,27 +121,39 @@ def _flash_bthd(q: jax.Array, k: jax.Array, v: jax.Array,
     )(q, k, v)
 
 
-def flash_attention_bh(q: jax.Array, k: jax.Array,
-                       v: jax.Array) -> jax.Array:
+def flash_attention_bh(q: jax.Array, k: jax.Array, v: jax.Array,
+                       t_valid: Optional[int] = None) -> jax.Array:
     """Head-major entry: (BH, T, D) in, (BH, T, D) out — for callers
     whose projections already produce head-major activations (the
-    encoder), so NO layout transpose exists on the path.  Pads T to the
-    kernel block (masked); einsum fallback off-TPU."""
+    encoder), so NO layout transpose exists on the path.
+
+    ``t_valid``: real (unpadded) sequence length when the caller already
+    runs at a kernel-block-aligned T (the encoder's pad-native mode —
+    models/model.py pads the residual stream ONCE per window instead of
+    this wrapper padding q/k/v and slicing the output around EVERY
+    layer's kernel call); key columns >= t_valid are masked.  When T is
+    not block-aligned, pads here (masked); einsum fallback off-TPU."""
     bh, t, d = q.shape
+    tv = t if t_valid is None else t_valid
     scale = float(1.0 / (d ** 0.5))
     mode = _enc_attn_mode()
     use_flash = use_pallas() and mode != "einsum"
     if not use_flash:
-        return _einsum_attention(q, k, v, scale)
+        return _einsum_attention(q, k, v, scale, t_valid=tv)
+    if t % _BLOCK_K == 0:
+        return _flash_bthd(q, k, v, scale, tv)
     t_pad = -(-t // _BLOCK_K) * _BLOCK_K
     pad = [(0, 0), (0, t_pad - t), (0, 0)]
     qp, kp, vp = (jnp.pad(x, pad) for x in (q, k, v))
-    return _flash_bthd(qp, kp, vp, scale, t)[:, :t]
+    return _flash_bthd(qp, kp, vp, scale, tv)[:, :t]
 
 
-def _einsum_attention(q, k, v, scale):
+def _einsum_attention(q, k, v, scale, t_valid: Optional[int] = None):
     s = jnp.einsum("bqd,bkd->bqk", q, k,
                    preferred_element_type=jnp.float32) * scale
+    if t_valid is not None and t_valid < k.shape[1]:
+        s = jnp.where(jnp.arange(k.shape[1])[None, None, :] < t_valid,
+                      s, _NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bqk,bkd->bqd", p.astype(v.dtype), v,
                       preferred_element_type=jnp.float32).astype(q.dtype)

@@ -233,9 +233,17 @@ def _xattn_q_tpu(q, k_q, k_s, v_q, v_s, lo, scal, *, n_head: int,
     def vs_map(b_i, c_i, scal_ref):
         return (scal_ref[1], b_i, 0, 0)
 
-    if kv_group > 1:
+    packed1 = kv_group == 1 and n_head <= _H_PAD
+    if kv_group > 1 or packed1:
         # beam groups share one int8 K/V row: grid (G, NC), q/lo/out
-        # blocked (1, K, ...) per group (see decode_attention)
+        # blocked (1, K, ...) per group (see decode_attention).  The
+        # kv_group == 1 (greedy) case routes through the SAME packed
+        # kernel with groups of one row: the per-row unrolled variant's
+        # elementwise p_s*v accumulate and int8->f32 upcasts are VPU
+        # work that fits under the f16 kernel's DMA time but BECOMES the
+        # bound once int8 halves the bytes (measured 391 GB/s vs f16's
+        # 708 at large-v3 b8, KERNELS r5); the packed form runs both
+        # contractions on the MXU.
         g = b // kv_group
         bt = kv_group
         packed = kv_group * n_head <= _H_PAD

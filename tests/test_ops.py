@@ -215,3 +215,31 @@ def test_encoder_head_major_matches_merged(interpret_mode):
     want = encoder_forward(params, cfg, mel, audio_ctx=128)  # einsum path
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-3, rtol=5e-3)
+
+
+def test_encoder_pad_native_matches_einsum(interpret_mode):
+    """PAD-NATIVE encoder mode (residual stream padded once to the
+    512-block, per-layer kernels run at T_pad with key masking) must
+    match the unpadded einsum path on the valid rows.  audio_ctx=500
+    pads to 512 (2.4%-style waste, inside the engage threshold)."""
+    import godot_whisper_tpu as gwt
+    from godot_whisper_tpu.models.model import encoder_forward
+    from godot_whisper_tpu.models.params import init_params
+
+    cfg = gwt.get_config("tiny.en").replace(
+        n_audio_layer=2, n_text_layer=1, n_audio_state=128, n_audio_head=4,
+        n_text_state=128, n_text_head=4, name="nano")
+    params = init_params(cfg, seed=0, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((4, 1000, 80)), jnp.float32)
+
+    os.environ["GWT_ENC_ATTN"] = "flash"
+    try:
+        got = encoder_forward(params, cfg, mel, audio_ctx=500)
+    finally:
+        os.environ.pop("GWT_ENC_ATTN", None)
+    os.environ.pop("GWT_PALLAS_INTERPRET", None)
+    want = encoder_forward(params, cfg, mel, audio_ctx=500)  # einsum path
+    assert got.shape == want.shape == (4, 500, 128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-3, rtol=5e-3)
