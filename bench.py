@@ -317,6 +317,15 @@ def main() -> None:
             l4ctx = _load_ctx("large-v3", "int4", on_device=True)
             out["large_v3_int4_single_rtf"] = round(
                 _single_rtf(l4ctx, tp, laudio, n=2), 2)
+            out["large_v3_int4_batch8_throughput_audio_s_per_s"] = round(
+                _batch_throughput(l4ctx, tp, 8, min(audio_seconds, 60.0),
+                                  n_batches=2), 1)
+            # int4 weights + int8 cross-KV: at batch 8 the f16 cross-KV
+            # read (~2 GB/step) dominates the step; the int8 cache is
+            # the serving config for quantized large-v3 batch decode
+            out["large_v3_int4x_batch8_throughput_audio_s_per_s"] = round(
+                _batch_throughput(l4ctx, tpx, 8, min(audio_seconds, 60.0),
+                                  n_batches=2), 1)
         except Exception as e:  # pragma: no cover
             out["large_v3_error"] = str(e)[:200]
 

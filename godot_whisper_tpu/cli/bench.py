@@ -186,14 +186,19 @@ def bench_kernels() -> None:
     # T = 1500 padded to 1536 inside the wrapper.
     def emit_enc(tag, B, H):
         import os as _os
-        T, D = 1500, 64
+        # production layout since the r5 pad-native encoder: the
+        # residual stream rides at T_pad = 1536 with t_valid = 1500 key
+        # masking (models/model.py pads once per window), so the kernel
+        # sees block-aligned operands and the wrapper never pads/slices
+        T, TV, D = 1536, 1500, 64
         q = jnp.asarray(rng.standard_normal((B * H, T, D))
                         .astype(np.float32)).astype(jnp.bfloat16)
         k, v = q + 0.1, q - 0.1
         flops = 4 * B * H * 1536 * 1536 * D
 
         def step_flash(x, k, v):
-            return attention.flash_attention_bh(x, k, v).astype(x.dtype)
+            return attention.flash_attention_bh(x, k, v, t_valid=TV
+                                                ).astype(x.dtype)
 
         _os.environ["GWT_ENC_ATTN"] = "flash"
         try:

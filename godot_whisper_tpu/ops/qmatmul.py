@@ -163,18 +163,16 @@ def _q4mm_kernel(x_ref, w_ref, s_ref, o_ref, *, gm: int, group: int):
     acc = None
     for gi in range(gm):
         xg = x_ref[:, gi * group:(gi + 1) * group]
-        wp = w_ref[gi * (group // 2):(gi + 1) * (group // 2)]  # uint8
-        # nibble split in the NARROW uint8 domain, then straight to bf16
-        # with the +8 bias removed in bf16 (exact: integers 0..15 and the
-        # subtraction are representable) — the previous int32-domain
-        # unpack expanded every byte 4x in VPU registers before
-        # converting, and measured as the kernel's bound (367 GB/s vs
-        # the int8 path's 610, KERNELS r5).  Bit-identical products:
-        # same bf16 integer weight values enter the same MXU contraction.
-        w = jnp.concatenate(
-            [wp & jnp.uint8(0xF), wp >> 4], axis=0)            # (G, BO)
-        w = w.astype(xg.dtype) - jnp.asarray(8, xg.dtype)
-        p = lax.dot_general(xg, w,
+        # int32-domain nibble unpack — NOT a missed optimization: this
+        # Mosaic version cannot legalize uint8 vector shifts
+        # (arith.shrui on vector<...xi8>) and widens every sub-32-bit
+        # int->float convert through i32/f32 internally
+        # (lowering._convert_helper), so a "narrow" uint8-domain unpack
+        # neither compiles nor would save the widening (r5 attempt).
+        wp = w_ref[gi * (group // 2):(gi + 1) * (group // 2)
+                   ].astype(jnp.int32)
+        w = jnp.concatenate([wp & 0xF, wp >> 4], axis=0) - 8  # (G, BO)
+        p = lax.dot_general(xg, w.astype(xg.dtype),
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
         p = p * s_ref[0, gi]                                # (BO,) bcast
