@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import functools
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -126,15 +127,25 @@ def _xattn_q_kernel(scal_ref, lo_ref, q_ref, kq_ref, ks_ref, vq_ref,
 
 def _xattn_q_group_packed_kernel(
         scal_ref, lo_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
-        acc_ref, m_ref, l_ref, *,
+        acc_ref, m_ref, l_ref, qi_ref, qs_ref, *,
         n_blocks_max: int, scale: float, kg: int, n_head: int,
-        blk_c: int = _BLOCK_C):
+        blk_c: int = _BLOCK_C, w8a8: bool = False):
     """PACKED int8 beam-group cross attention (see
     decode_attention._decode_attn_group_packed_kernel for the packing
     scheme).  int8 K/V upcast exactly to bf16; the per-(position, head)
     K scales select into a (HP, BC) tile with one NT dot against an
     iota-generated head-select matrix; V's per-head scale applies at the
-    final per-row select."""
+    final per-row select.
+
+    ``w8a8`` (r5): the ACTIVATIONS quantize too — q per (row, head) and
+    probs at a fixed 127 — so both contractions run as int8 x int8 ->
+    int32 MXU dots (measured 2.5x the bf16 dot rate on v5e, exact
+    integer accumulation) and the int8 K/V blocks are never upcast (the
+    int8->bf16 vector convert widens through i32/f32 inside Mosaic and
+    bounded the exact kernel at ~0.47 roofline).  Adds <=0.8% relative
+    quantization error to scores and probs — the same band as the bf16
+    probs rounding of the float kernels — and is only reachable through
+    the already-lossy opt-in cross_kv_int8 mode."""
     c = pl.program_id(1)
     n_active = jnp.maximum(pl.cdiv(scal_ref[0], blk_c), 1)
     s_dim = q_ref.shape[-1]
@@ -146,6 +157,27 @@ def _xattn_q_group_packed_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
+        if w8a8:
+            # per-(row, head) dynamic q quantization, ONCE per program
+            # row (scratch-resident across c blocks — recomputing it per
+            # block measured the whole int8-dot saving away): row r of
+            # seg_q holds head r%H of beam r//H, one scale per sublane
+            r_s = lax.broadcasted_iota(jnp.int32, (_H_PAD, s_dim), 0)
+            lane_h = (lax.broadcasted_iota(jnp.int32, (_H_PAD, s_dim), 1)
+                      // d)
+            seg01 = (lane_h == r_s % n_head)
+            sel = (lax.broadcasted_iota(jnp.int32, (_H_PAD, kg), 0)
+                   // n_head
+                   == lax.broadcasted_iota(jnp.int32, (_H_PAD, kg), 1)
+                   ).astype(jnp.bfloat16)
+            qstack = jnp.dot(sel, q_ref[0].astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+            seg_q_f = jnp.where(seg01, qstack, 0.0)       # (HP, S) f32
+            qs = (jnp.maximum(jnp.max(jnp.abs(seg_q_f), axis=1,
+                                      keepdims=True), 1e-20)
+                  / 127.0)                                 # (HP, 1)
+            qi_ref[:] = jnp.round(seg_q_f / qs).astype(jnp.int8)
+            qs_ref[:, :1] = qs
 
     @pl.when(c < n_active)
     def _():
@@ -155,15 +187,19 @@ def _xattn_q_group_packed_kernel(
         sel = (lax.broadcasted_iota(jnp.int32, (_H_PAD, kg), 0) // n_head
                == lax.broadcasted_iota(jnp.int32, (_H_PAD, kg), 1)
                ).astype(jnp.bfloat16)
-        qstack = jnp.dot(sel, q_ref[0].astype(jnp.bfloat16),
-                         preferred_element_type=jnp.float32)
-        seg_q = segstack * qstack.astype(jnp.bfloat16)    # (HP, S) bf16
-
-        kq = kq_ref[0, 0].astype(jnp.bfloat16)            # (BC, S) exact
-        v = vq_ref[0, 0].astype(jnp.bfloat16)             # exact int8
-        s_t = lax.dot_general(
-            seg_q, kq, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # (HP, BC)
+        if w8a8:
+            s_i = lax.dot_general(
+                qi_ref[:], kq_ref[0, 0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)          # (HP, BC)
+            s_t = s_i.astype(jnp.float32) * (qs_ref[:, :1] * scale)
+        else:
+            qstack = jnp.dot(sel, q_ref[0].astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+            seg_q = segstack * qstack.astype(jnp.bfloat16)  # (HP, S) bf16
+            kq = kq_ref[0, 0].astype(jnp.bfloat16)          # exact int8
+            s_t = lax.dot_general(
+                seg_q, kq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (HP, BC)
         # head-select of the per-(slot, head) K scales -> (HP, BC)
         e_h = (lax.broadcasted_iota(jnp.int32, (_H_PAD, _H_PAD), 1)
                == lax.broadcasted_iota(jnp.int32, (_H_PAD, _H_PAD), 0)
@@ -191,11 +227,24 @@ def _xattn_q_group_packed_kernel(
         l_ref[:, :1] = (l_ref[:, :1] * corr
                         + jnp.sum(p_t, axis=1, keepdims=True))
         m_ref[:, :1] = m_new
-        acc_ref[:] = (acc_ref[:] * corr
-                      + lax.dot_general(
-                          p_t.astype(jnp.bfloat16), v,
-                          (((1,), (0,)), ((), ())),
-                          preferred_element_type=jnp.float32))
+        if w8a8:
+            # probs in [0, 1] quantize at a FIXED 127 scale (the block
+            # max is exactly 1 after the online-softmax shift), so the
+            # expand contraction is an int8 x int8 -> int32 dot too and
+            # V is never upcast
+            p_q = jnp.round(p_t * 127.0).astype(jnp.int8)
+            pv = lax.dot_general(
+                p_q, vq_ref[0, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc_ref[:] = (acc_ref[:] * corr
+                          + pv.astype(jnp.float32) * (1.0 / 127.0))
+        else:
+            v = vq_ref[0, 0].astype(jnp.bfloat16)          # exact int8
+            acc_ref[:] = (acc_ref[:] * corr
+                          + lax.dot_general(
+                              p_t.astype(jnp.bfloat16), v,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32))
 
     @pl.when(c == n_blocks_max - 1)
     def _():
@@ -215,9 +264,10 @@ def _xattn_q_group_packed_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("n_head", "kv_group",
-                                             "interpret"))
+                                             "interpret", "w8a8"))
 def _xattn_q_tpu(q, k_q, k_s, v_q, v_s, lo, scal, *, n_head: int,
-                 kv_group: int = 1, interpret: bool = False):
+                 kv_group: int = 1, interpret: bool = False,
+                 w8a8: bool = True):
     b, s = q.shape
     c_pad = k_q.shape[2]
     nc = c_pad // _BLOCK_C
@@ -253,12 +303,14 @@ def _xattn_q_tpu(q, k_q, k_s, v_q, v_s, lo, scal, *, n_head: int,
         if packed:
             kernel = functools.partial(
                 _xattn_q_group_packed_kernel, n_blocks_max=nc, kg=bt,
-                n_head=n_head, blk_c=blk_c,
+                n_head=n_head, blk_c=blk_c, w8a8=w8a8,
                 scale=float(1.0 / ((s // n_head) ** 0.5)))
             scratch = [
                 pltpu.VMEM((_H_PAD, s), jnp.float32),
                 pltpu.VMEM((_H_PAD, _H_PAD), jnp.float32),
                 pltpu.VMEM((_H_PAD, _H_PAD), jnp.float32),
+                pltpu.VMEM((_H_PAD, s), jnp.int8),      # qi (w8a8)
+                pltpu.VMEM((_H_PAD, _H_PAD), jnp.float32),  # qs (w8a8)
             ]
         else:
             kernel = functools.partial(
@@ -337,11 +389,20 @@ def _xattn_q_tpu(q, k_q, k_s, v_q, v_s, lo, scal, *, n_head: int,
     return out[:, 0]
 
 
+def w8a8_default() -> bool:
+    """W8A8 int8-MXU contraction mode for the packed quant kernels —
+    default ON (it is what makes cross_kv_int8 actually outrun f16;
+    docs/SCALING.md r5); GWT_XATTN_EXACT=1 forces the exact
+    int8-KV/bf16-activation contraction for numerics bisection."""
+    return os.environ.get("GWT_XATTN_EXACT") != "1"
+
+
 def cross_attention_quant(q: jax.Array, k_q: jax.Array, k_s: jax.Array,
                           v_q: jax.Array, v_s: jax.Array, *,
                           n_head: int, t_valid: jax.Array,
                           kv_group: int = 1, layer=None,
-                          interpret: bool = False) -> jax.Array:
+                          interpret: bool = False,
+                          w8a8: Optional[bool] = None) -> jax.Array:
     """Single-query cross attention against int8 merged-head KV.
 
     q: (B, S); k_q/v_q: (B // kv_group, T_pad, S) int8 — or the stacked
@@ -377,4 +438,5 @@ def cross_attention_quant(q: jax.Array, k_q: jax.Array, k_s: jax.Array,
     scal = jnp.stack([hi, jnp.asarray(layer, jnp.int32).reshape(())])
     return _xattn_q_tpu(q, k_q, k_s, v_q, v_s, lo, scal,
                         n_head=n_head, kv_group=kv_group,
-                        interpret=interpret)
+                        interpret=interpret,
+                        w8a8=w8a8_default() if w8a8 is None else w8a8)

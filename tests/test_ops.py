@@ -103,9 +103,12 @@ def _make_quant_kv_merged(rng, B, T, n_head, D, HP=128):
     return k_q, k_sp, v_q, v_sp
 
 
-def test_cross_attention_quant_kernel(interpret_mode):
+@pytest.mark.parametrize("w8a8", [False, True])
+def test_cross_attention_quant_kernel(interpret_mode, w8a8):
     """Pallas int8 cross-attention (interpret) vs the float oracle,
-    t_valid not a block multiple (masked tail)."""
+    t_valid not a block multiple (masked tail).  Covers BOTH contraction
+    modes: exact (int8 KV upcast, bf16 dots) and W8A8 (q/probs
+    quantized in-kernel, int8 MXU dots — adds <=~1% quant error)."""
     from godot_whisper_tpu.ops import cross_attention
 
     rng = np.random.default_rng(7)
@@ -118,10 +121,13 @@ def test_cross_attention_quant_kernel(interpret_mode):
         jnp.asarray(q), jnp.asarray(k_q),
         jnp.asarray(k_s).astype(jnp.bfloat16),
         jnp.asarray(v_q), jnp.asarray(v_s), n_head=H,
-        t_valid=jnp.full((B,), t_valid, jnp.int32), interpret=True))
+        t_valid=jnp.full((B,), t_valid, jnp.int32), interpret=True,
+        w8a8=w8a8))
     want = _xattn_oracle_merged(q, k_q, k_s, v_q, v_s, H, t_valid)
-    # bf16 scales + f32 accumulate vs f64 oracle
-    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+    # bf16 scales + f32 accumulate vs f64 oracle (+ activation
+    # quantization in w8a8 mode)
+    tol = 3e-2 if w8a8 else 2e-2
+    np.testing.assert_allclose(got, want, atol=tol, rtol=tol)
 
 
 @pytest.mark.parametrize("kg,H,D,T_pad,t_valid,L,layer", [
@@ -157,15 +163,19 @@ def test_cross_attention_quant_grouped(interpret_mode, kg, H, D, T_pad,
         if L == 1 else
         (jnp.asarray(k_q), jnp.asarray(k_s).astype(jnp.bfloat16),
          jnp.asarray(v_q), jnp.asarray(v_s)))
-    got = np.asarray(cross_attention.cross_attention_quant(
-        jnp.asarray(q), *args, n_head=H,
-        t_valid=jnp.full((B,), t_valid, jnp.int32), kv_group=kg,
-        layer=None if L == 1 else jnp.int32(layer), interpret=True))
-    rep = np.repeat
-    want = _xattn_oracle_merged(
-        q, rep(k_q[li], kg, axis=0), rep(k_s[li], kg, axis=0),
-        rep(v_q[li], kg, axis=0), rep(v_s[li], kg, axis=0), H, t_valid)
-    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+    for w8a8 in (False, True):   # both packed contraction modes
+        got = np.asarray(cross_attention.cross_attention_quant(
+            jnp.asarray(q), *args, n_head=H,
+            t_valid=jnp.full((B,), t_valid, jnp.int32), kv_group=kg,
+            layer=None if L == 1 else jnp.int32(layer), interpret=True,
+            w8a8=w8a8))
+        rep = np.repeat
+        want = _xattn_oracle_merged(
+            q, rep(k_q[li], kg, axis=0), rep(k_s[li], kg, axis=0),
+            rep(v_q[li], kg, axis=0), rep(v_s[li], kg, axis=0), H,
+            t_valid)
+        tol = 3e-2 if w8a8 else 2e-2
+        np.testing.assert_allclose(got, want, atol=tol, rtol=tol)
 
 
 def test_cross_attention_quant_fallback_matches_oracle():
