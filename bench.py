@@ -122,6 +122,42 @@ def _batch_throughput(ctx, tp, nb: int, audio_seconds: float,
     return max(one_pass() for _ in range(reps))
 
 
+def _device_decode_throughput(ctx, tp, nb: int, audio_seconds: float,
+                              reps: int = 3) -> float:
+    """DEVICE-only clip-loop throughput: mel made resident first, the
+    timed region is one full clip-loop dispatch fenced by a small
+    device_get (block_until_ready does not round-trip on tunneled
+    runtimes) — the wire-independent chip figure."""
+    import jax
+
+    from godot_whisper_tpu.audio.mel import frame_counts
+    from godot_whisper_tpu.parallel.batch import BatchTranscriber
+
+    bt = BatchTranscriber(ctx)
+    pipe = ctx.pipeline
+    clips = [_make_audio(audio_seconds, seed=i) for i in range(nb)]
+    prompt_init, no_ts = bt._prompt_init(tp)
+    mel_all, n_lens = pipe.mel.device_batch(clips)
+    copy = jax.jit(lambda x: x + 0)
+    mel_all = copy(mel_all)      # own buffer (run() donates state)
+    seeks = [0] * nb
+    seek_ends = [frame_counts(len(c))[1] for c in clips]
+    cd = bt._clip_decoder(tp, nb, mel_all.shape[2], prompt_init, no_ts)
+    best = None
+    for rep in range(reps):
+        mel2 = copy(mel_all)
+        state = cd.init_state(mel2, n_lens, seeks, seek_ends,
+                              past_init=[[] for _ in range(nb)])
+        _ = jax.device_get(state.w)          # fence: state resident
+        t0 = time.perf_counter()
+        state2 = cd.run(pipe.params, state)
+        _ = jax.device_get(state2.w)         # fence: decode complete
+        dt = time.perf_counter() - t0
+        if rep:                              # rep 0 compiles/warms
+            best = dt if best is None else min(best, dt)
+    return nb * audio_seconds / best
+
+
 def _oneshot_latency_ms(ctx, gwt, n=5) -> float:
     """Time-to-transcript for an 11 s clip (jfk.wav length) with the
     reference streaming layer's dynamic audio_ctx
@@ -272,6 +308,15 @@ def main() -> None:
             out["beam5_batch16_throughput_audio_s_per_s"] = round(
                 _batch_throughput(ctx, tpb, 16, audio_seconds,
                                   n_batches=2), 1)
+            # DEVICE-only beam decode (mel pre-resident, wire excluded):
+            # the e2e batch numbers above sit at the relay-wire ceiling
+            # (~link_MB_s * 64 audio-s/s), so this is the figure that
+            # tracks the chip-side beam work (r5: 1773/2022 at b8/b16)
+            out["beam5_device_batch8_audio_s_per_s"] = round(
+                _device_decode_throughput(ctx, tpb, 8, audio_seconds), 1)
+            out["beam5_device_batch16_audio_s_per_s"] = round(
+                _device_decode_throughput(ctx, tpb, 16,
+                                          audio_seconds), 1)
         except Exception as e:  # pragma: no cover
             out["beam5_error"] = str(e)[:200]
 
