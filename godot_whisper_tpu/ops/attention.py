@@ -3,8 +3,11 @@
 Replaces the materialize-scores attention of the reference
 (/root/reference/thirdparty/whisper.cpp/whisper.cpp:1880-1911 — permute,
 mul_mat, softmax, mul_mat; the ggml flash-attn variant at :1854-1878 is
-compile-time disabled) with a blockwise online-softmax kernel: scores never
-leave VMEM, HBM traffic drops from O(T^2) to O(T*D) per head.
+compile-time disabled) with a single-pass whole-T kernel: scores never
+leave VMEM, HBM traffic drops from O(T^2) to O(T*D) per head, and the
+mask + softmax row-sum are folded into the two MXU contractions (see
+_flash_sp_kernel).  A blockwise online-softmax kernel remains as the
+fallback for T beyond VMEM capacity.
 
 Shapes: encoder self-attention is (B*H, T, Dh) with T = n_audio_ctx
 (1500, padded here to a 512-multiple with masked tail) and Dh = 64.
@@ -35,28 +38,37 @@ except Exception:  # pragma: no cover
 
 _NEG_INF = -1e30
 
-# Block sizes: q rows per program, k columns per inner step.
+# Block sizes: q rows per program, k columns per inner step (looped
+# fallback kernel only — used when T exceeds _SP_MAX_T).
 _BLOCK_Q = 256
 _BLOCK_K = 512
+
+# Single-pass kernel: max padded T for which the whole (T, T) score tile
+# stays in VMEM (1536 -> s 9.4 MB f32 + p 4.7 MB bf16; 2048 would be
+# 16.8 + 8.4 MB and spills).  Encoder T is n_audio_ctx <= 1500 padded to
+# 1536, so every production shape takes this path.
+_SP_MAX_T = 1536
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_pad: int,
                   t_valid: int):
-    """One (batch*head, q-block) program: stream K/V blocks with online
-    softmax, masking the padded key tail.
+    """Looped fallback (T > _SP_MAX_T only): one (batch*head, q-block)
+    program streaming K/V blocks with online softmax, masking the padded
+    key tail.
 
     Matmuls run at the INPUT precision (bf16 on the encoder path) with
     f32 accumulation — numerically the same contraction the XLA einsum
-    path performs.  An earlier revision upcast q/k/v to f32 before the
-    dots; MXU f32 passes run at ~1/4 the bf16 rate, which capped the
-    kernel at a flat 28% of the bf16 roofline across every shape
-    (KERNELS_r04.json); with bf16 dots the bare kernel measures
-    93 TFLOPS = 0.47 roofline at (160, 1536, 64).  Softmax bookkeeping
-    stays f32.  The (BH, T, D) operand layout is produced for FREE by
-    the encoder's head-major projections (models/model.py folds the
-    head transpose into the q/k/v and out-proj einsums — an explicit
-    (B, T, H, D) -> (BH, T, D) transpose around the kernel measured as
-    expensive as the kernel itself)."""
+    path performs.  Measured FLAT ~54 TFLOPS = 0.28 roofline at every
+    encoder shape (KERNELS_r04/r05) regardless of dtype: the cap is the
+    per-block online-softmax bookkeeping (running max/corrections, the
+    masking iota/where, and the lane-direction row-sum), not the exp —
+    an A/B with exp removed entirely recovered only 10%.  That is why
+    the production path is the single-pass kernel above; this one exists
+    only for hypothetical T beyond VMEM.  The (BH, T, D) operand layout
+    is produced for FREE by the encoder's head-major projections
+    (models/model.py folds the head transpose into the q/k/v and
+    out-proj einsums — an explicit (B, T, H, D) -> (BH, T, D) transpose
+    around the kernel measured as expensive as the kernel itself)."""
     cdt = q_ref.dtype if q_ref.dtype == jnp.bfloat16 else jnp.float32
     q = q_ref[0].astype(cdt)                        # (BQ, D)
     bq, d = q.shape
@@ -90,11 +102,95 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_pad: int,
     o_ref[0] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
 
 
+def _flash_sp_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
+    """Single-pass whole-T program: one QK matmul, plain softmax, one PV
+    matmul — no online-softmax carries, no masking pass, no row-sum pass.
+
+    Three fusions keep the VPU off the critical path (the looped kernel
+    measured FLAT ~54 TFLOPS = 0.28 roofline at every shape, and an A/B
+    with exp removed entirely recovered only 10% — the cost was carry
+    bookkeeping + per-block masking + lane reductions, not exp):
+
+    - pad-mask via an EXTENDED CONTRACTION COLUMN: q gains a constant-1
+      column, k gains the (T,) bias column (0 valid / -1e30 pad), so the
+      QK dot lands `s + bias` directly.  D 64 -> 65 is free — the MXU
+      pads the contraction to 128 either way.  exp(-1e30 - m) underflows
+      to exactly 0.0 (negative side is safe; the CLAUDE.md ones-matmul
+      overflow trap is the positive side).
+    - softmax row-sum via a ONES BLOCK appended to v: the PV dot at
+      N = 128 costs the same MXU pass as N = 64, and column d of the
+      accumulator IS sum(p) — the lane-reduction pass disappears.
+    - scale folded into q (a (BQ, D) pass, 1/24th of scaling s).
+
+    Measured (KERNELS job 004): 89.0 TFLOPS = 0.452 roofline at
+    (48, 1536, 64), 82.5 = 0.419 at (160, 1536, 64) — +59% over the
+    looped kernel, max_abs_err 2.8e-4 vs the f32 einsum oracle (bf16
+    input rounding noise)."""
+    cdt = q_ref.dtype if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    q = (q_ref[0] * scale).astype(cdt)              # (BQ, D)
+    k = k_ref[0].astype(cdt)                        # (T, D)
+    v = v_ref[0].astype(cdt)
+    bq, d = q.shape
+    t = k.shape[0]
+
+    lane_q = lax.broadcasted_iota(jnp.int32, (bq, d), 1)
+    q_ext = jnp.concatenate(
+        [q, jnp.where(lane_q == 0, 1, 0).astype(cdt)], axis=1)
+    lane_k = lax.broadcasted_iota(jnp.int32, (t, d), 1)
+    bias_col = b_ref[...].reshape(t, 1)             # (T, 1) f32
+    k_ext = jnp.concatenate(
+        [k, jnp.where(lane_k == 0, bias_col, 0.0).astype(cdt)], axis=1)
+    s = lax.dot_general(q_ext, k_ext, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (BQ, T)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m).astype(cdt)
+
+    v_ext = jnp.concatenate([v, jnp.ones((t, d), cdt)], axis=1)
+    acc = lax.dot_general(p, v_ext, (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)  # (BQ, 2D)
+    l = acc[:, d:d + 1]
+    o_ref[0] = (acc[:, :d] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_sp(q: jax.Array, k: jax.Array, v: jax.Array,
+              scale: float, t_valid: int) -> jax.Array:
+    """Single-pass dispatch: one program per (batch*head), whole T."""
+    bh, t, d = q.shape
+    bias = jnp.where(jnp.arange(t) >= t_valid, _NEG_INF, 0.0
+                     ).astype(jnp.float32).reshape(1, t)
+    kernel = functools.partial(_flash_sp_kernel, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((1, t, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, d), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * t * t * d,
+            bytes_accessed=bh * t * d * 3 * 2 + bh * t * d * 2,
+            transcendentals=bh * t * t),
+        interpret=os.environ.get("GWT_PALLAS_INTERPRET") == "1",
+    )(q, k, v, bias)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "t_valid"))
 def _flash_bthd(q: jax.Array, k: jax.Array, v: jax.Array,
                 scale: float, t_valid: int) -> jax.Array:
     """(BH, T_pad, D) flash attention with key masking beyond t_valid."""
     bh, t, d = q.shape
+    if t <= _SP_MAX_T:
+        return _flash_sp(q, k, v, scale, t_valid)
     grid = (bh, t // _BLOCK_Q)
 
     kernel = functools.partial(_flash_kernel, scale=scale, t_pad=t,
@@ -174,14 +270,14 @@ def use_pallas() -> bool:
             and os.environ.get("GWT_DISABLE_PALLAS") != "1")
 
 
-# flash-vs-einsum crossover in total (batch * heads) rows, from the
-# committed on-chip sweep (KERNELS_r04.json): einsum wins up to BH = 12
-# (tiny/base/small single-stream: 50-107 us vs flash 65-129), the flash
-# kernel wins from BH = 20 up (large-v3 b1: 220 vs 552 us; tiny b8: 519
-# vs 1318; large-v3 b8: 1831 vs 4432 — XLA's materialized-scores path
-# collapses to ~22 TFLOPS once the score tensor spills).  Override with
-# GWT_ENC_ATTN=flash|einsum.
-_FLASH_MIN_BH = 16
+# flash-vs-einsum crossover in total (batch * heads) rows.  With the
+# r4 looped kernel einsum won up to BH = 12; the r5 single-pass kernel
+# beats einsum at EVERY shape (on-chip job 005: BH=6 39.2 us vs 48.0;
+# BH=20 136 vs 552; BH=160 1173 vs 4431 — XLA's materialized-scores
+# path collapses to ~22 TFLOPS once the score tensor spills, the kernel
+# holds 82-93 TFLOPS = 0.42-0.47 roofline).  Crossover retired; einsum
+# remains reachable via GWT_ENC_ATTN=einsum for debugging.
+_FLASH_MIN_BH = 0
 
 
 def _enc_attn_mode() -> str:
